@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Mapping entry point (reference build_map.cpp parity, headless).
+
+Usage:
+    python build_map.py <dataset_dir> [--out MAP.bin] [--frames N]
+        [--sub-level L] [--clean] [--icp] [--synthetic N]
+
+Consumes a KITTI-layout dataset (or --synthetic frames of the procedural
+scene), runs the fusion pipeline frame by frame, optionally replays the
+backward cleanPoints pass (build_map.cpp:306-326), and writes the map in the
+reference's binary format with a timestamped default name
+(build_map.cpp:234-255).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time as _time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset", nargs="?", help="KITTI-layout dataset directory")
+    ap.add_argument("--out", default=None, help="output map path")
+    ap.add_argument("--frames", type=int, default=None, help="max frames")
+    ap.add_argument("--sub-level", type=int, default=0)
+    ap.add_argument("--clean", action="store_true", help="run backward cleanPoints")
+    ap.add_argument("--icp", action="store_true", help="refine poses with frame-to-model ICP")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="use N procedural frames instead of a dataset")
+    ap.add_argument("--capacity", type=int, default=1 << 22)
+    ap.add_argument("--fuse-thresh", type=float, default=None,
+                    help="override surfel fuse distance threshold factor")
+    ap.add_argument("--profile", action="store_true", help="print stage timings")
+    args = ap.parse_args(argv)
+
+    from surfelmapping_tpu.config import MapConfig, PipelineParams
+    from surfelmapping_tpu.pipeline import SurfelMapper
+
+    params = PipelineParams()
+    if args.fuse_thresh is not None:
+        import dataclasses
+        params = dataclasses.replace(params, fuse_thresh_factor=args.fuse_thresh)
+
+    if args.synthetic:
+        from surfelmapping_tpu.io.synthetic import SyntheticScene, kitti_cam
+
+        cam = kitti_cam()
+        scene = SyntheticScene(cam)
+        n = args.synthetic
+
+        def frames():
+            for i in range(n):
+                rgb, d, s, T = scene.frame(i)
+                yield i, rgb, d, s, T
+    else:
+        if not args.dataset:
+            ap.error("dataset directory or --synthetic N required")
+        from surfelmapping_tpu.io.kitti import KittiReader
+
+        reader = KittiReader(args.dataset, sub_level=args.sub_level)
+        cam = reader.cam
+
+        def frames():
+            while True:
+                f = reader.get_next()
+                if f is None:
+                    return
+                if args.frames and f.frame_id >= args.frames:
+                    return
+                yield f.frame_id, f.rgb, f.depth, f.semantic, f.pose
+
+    mapper = SurfelMapper(cam, params, MapConfig(capacity=args.capacity))
+
+    icp = None
+    if args.icp:
+        from surfelmapping_tpu.icp import ICPRefiner
+
+        icp = ICPRefiner(cam, params)
+
+    t0 = _time.perf_counter()
+    n_frames = 0
+    history = []
+    for fid, rgb, depth, sem, pose in frames():
+        if icp is not None and mapper.count > 0:
+            pose = icp.refine(mapper.smap, depth, sem, pose)
+        stats = mapper.process_frame(rgb, depth, sem, pose)
+        history.append((fid, rgb, depth, sem, pose))
+        n_frames += 1
+        if n_frames % 20 == 0:
+            fps = n_frames / (_time.perf_counter() - t0)
+            print(f"frame {fid}: surfels={mapper.count} fps={fps:.2f}", flush=True)
+
+    if args.clean:
+        print("running backward cleanPoints pass ...")
+        for fid, rgb, depth, sem, pose in reversed(history):
+            mapper.clean_points(depth, sem, pose)
+        print(f"after clean: surfels={mapper.count}")
+
+    out = args.out or _time.strftime("surfel_map_%m_%d_%H:%M:%S.bin")
+    start_id = history[0][0] if history else 0
+    end_id = history[-1][0] if history else 0
+    mapper.save_map(out, start_id, end_id)
+    dt = _time.perf_counter() - t0
+    print(
+        f"{out} saved: {mapper.count} surfels from {n_frames} frames "
+        f"({n_frames/dt:.2f} fps)"
+    )
+    if args.profile:
+        print(mapper.stopwatch.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""SPADE inference + postprocess CLI (reference SPADE/test.py +
+postprocess.py parity).
+
+    python spade_test.py --ckpt spade_ckpt.msgpack --label-dir renders/image \
+        --semantic-dir renders/semantic --out out/ [--crop 256]
+
+Runs the generator over rendered label images and composites GAN pixels into
+render holes (where semantic == 0), writing the final simulator frames.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--label-dir", required=True)
+    ap.add_argument("--semantic-dir", default=None)
+    ap.add_argument("--out", default="output/enhanced")
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--ngf", type=int, default=64)
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+    from PIL import Image
+
+    from surfelmapping_tpu.models.data import postprocess_composite
+    from surfelmapping_tpu.models.pix2pix import SpadeConfig, SpadeTrainer
+
+    cfg = SpadeConfig(ngf=args.ngf, crop_size=args.crop, use_vgg=False)
+    trainer = SpadeTrainer(cfg)
+
+    names = sorted(os.listdir(args.label_dir))
+    if args.limit:
+        names = names[: args.limit]
+    first = np.asarray(
+        Image.open(os.path.join(args.label_dir, names[0])).convert("RGB")
+    )
+    H, W = first.shape[:2]
+    lab0 = jnp.zeros((1, H, W, 3), jnp.float32)
+    state = trainer.init_state(lab0, lab0)
+    with open(args.ckpt, "rb") as f:
+        state = serialization.from_bytes(state, f.read())
+
+    os.makedirs(args.out, exist_ok=True)
+    for name in names:
+        lab_u8 = np.asarray(
+            Image.open(os.path.join(args.label_dir, name)).convert("RGB")
+        )
+        lab = jnp.asarray(lab_u8, jnp.float32)[None] / 127.5 - 1.0
+        fake = np.asarray(trainer.infer(state, lab))[0]
+        fake_u8 = np.clip((fake + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        if args.semantic_dir:
+            sem = np.asarray(
+                Image.open(os.path.join(args.semantic_dir, name)).convert("L")
+            )
+            out = postprocess_composite(lab_u8, fake_u8, sem)
+        else:
+            out = fake_u8
+        Image.fromarray(out).save(os.path.join(args.out, name))
+    print(f"wrote {len(names)} frames to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""SE(3) helpers shared by all pipeline stages.
+
+The reference passes 4x4 ``Eigen::Matrix4f`` poses into every shader
+(e.g. src/Shaders/data.vert:23, conflict.vert:16); here poses are f32[4,4]
+jnp arrays, camera-to-world unless suffixed ``_inv``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
+    """Apply a 4x4 rigid transform to [..., 3] points."""
+    return pts @ T[:3, :3].T + T[:3, 3]
+
+
+def rotate_vectors(T: jax.Array, vecs: jax.Array) -> jax.Array:
+    """Apply only the rotation part of a 4x4 transform to [..., 3] vectors."""
+    return vecs @ T[:3, :3].T
+
+
+def invert_se3(T: jax.Array) -> jax.Array:
+    """Closed-form inverse of a rigid transform."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.eye(4, dtype=T.dtype)
+    Ti = Ti.at[:3, :3].set(R.T)
+    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    return Ti
+
+
+def safe_normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """Normalize without NaN on zero vectors (masked-out lanes stay finite)."""
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v / jnp.maximum(n, eps)
+
+
+def exp_se3(xi: jax.Array) -> jax.Array:
+    """Exponential map from a 6-vector twist (v, w) to a 4x4 transform.
+
+    Used by the ICP pose-refinement module (a capability the reference stubs
+    out: src/SurfelMapping.h:29 takes ground-truth poses only).
+    """
+    v = xi[:3]
+    w = xi[3:]
+    theta = jnp.linalg.norm(w)
+    theta = jnp.maximum(theta, 1e-12)
+    K = jnp.array(
+        [
+            [0.0, -w[2], w[1]],
+            [w[2], 0.0, -w[0]],
+            [-w[1], w[0], 0.0],
+        ],
+        dtype=xi.dtype,
+    )
+    K = K / theta
+    s = jnp.sin(theta)
+    c = jnp.cos(theta)
+    R = jnp.eye(3, dtype=xi.dtype) + s * K + (1.0 - c) * (K @ K)
+    V = (
+        jnp.eye(3, dtype=xi.dtype)
+        + ((1.0 - c) / theta) * K
+        + ((theta - s) / theta) * (K @ K)
+    )
+    small = jnp.linalg.norm(w) < 1e-8
+    R = jnp.where(small, jnp.eye(3, dtype=xi.dtype), R)
+    V = jnp.where(small, jnp.eye(3, dtype=xi.dtype), V)
+    T = jnp.eye(4, dtype=xi.dtype)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(V @ v)
+    return T

@@ -1,0 +1,118 @@
+"""Novel-view trajectory generators + image acquisition.
+
+Counterparts of the reference's simulator data-generation paths:
+  * random perturbed views (load_map.cpp:132-173): +-2 m lateral, +-1 m
+    longitudinal, +-15 deg yaw around randomly chosen trajectory frames;
+  * "S"-shaped sinusoidal sweep (load_map.cpp:176-215);
+  * acquireImages: render each view and write paired image/semantic PNGs
+    with 6-digit names (src/SurfelMapping.cpp:378-434).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CameraIntrinsics
+from .ops.splat import splat_render
+from .surfels import SurfelMap
+
+
+def _yaw_about_minus_y(theta: float) -> np.ndarray:
+    """Rotation of theta about the (0,-1,0) axis (the reference's yaw axis,
+    load_map.cpp:160)."""
+    c, s = np.cos(theta), np.sin(theta)
+    # axis (0,-1,0): equals rotation of -theta about +y
+    R = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], dtype=np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    return T
+
+
+def _translate(x: float, y: float, z: float) -> np.ndarray:
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+def random_novel_views(
+    base_views: list[np.ndarray] | np.ndarray,
+    num: int,
+    seed: int = 0,
+    max_x: float = 2.0,
+    max_z: float = 1.0,
+    max_yaw_deg: float = 15.0,
+) -> list[np.ndarray]:
+    """Random perturbations of random base frames (load_map.cpp:132-173;
+    the reference generates 100*novelViewNum views)."""
+    rng = np.random.default_rng(seed)
+    base = np.asarray(base_views)
+    out = []
+    for _ in range(num):
+        v = base[rng.integers(0, len(base))]
+        x_off = rng.uniform(-max_x, max_x)
+        z_off = rng.uniform(-max_z, max_z)
+        theta = np.deg2rad(rng.uniform(-max_yaw_deg, max_yaw_deg))
+        T = _translate(x_off, 0.0, z_off) @ _yaw_about_minus_y(theta)
+        out.append((v @ T).astype(np.float32))
+    return out
+
+
+def s_shaped_views(
+    base_views: list[np.ndarray] | np.ndarray,
+    period: float,
+    max_trans: float = 2.0,
+    max_yaw_deg: float = 15.0,
+) -> list[np.ndarray]:
+    """Sinusoidal lateral sweep along the trajectory keyed by cumulative
+    travelled distance (load_map.cpp:176-215; the reference uses
+    period = 3 * novelViewNum)."""
+    base = np.asarray(base_views)
+    max_theta = np.deg2rad(max_yaw_deg)
+    out = []
+    total = 0.0
+    last_t = base[0][:3, 3]
+    for v in base:
+        t = v[:3, 3]
+        total += float(np.linalg.norm(t - last_t))
+        last_t = t
+        x_off = np.sin(total / period) * max_trans
+        theta = -np.cos(total / period) * max_theta
+        T = _translate(x_off, 0.0, 0.0) @ _yaw_about_minus_y(theta)
+        out.append((v @ T).astype(np.float32))
+    return out
+
+
+def acquire_images(
+    smap: SurfelMap,
+    views: list[np.ndarray],
+    path: str,
+    cam: CameraIntrinsics,
+    start_id: int = 0,
+    footprint: int = 5,
+) -> None:
+    """Render every view and save image/semantic PNG pairs — the reference's
+    acquireImages (src/SurfelMapping.cpp:378-434): <path>/image/NNNNNN.png
+    (RGB) and <path>/semantic/NNNNNN.png (class+1, 0 = hole)."""
+    from PIL import Image
+
+    image_dir = os.path.join(path, "image")
+    sem_dir = os.path.join(path, "semantic")
+    os.makedirs(image_dir, exist_ok=True)
+    os.makedirs(sem_dir, exist_ok=True)
+
+    render = jax.jit(
+        lambda m, v: splat_render(m, v, cam, footprint=footprint)
+    )
+    for i, v in enumerate(views):
+        out = render(smap, jnp.asarray(v, jnp.float32))
+        rgb = np.asarray(
+            jnp.clip(jnp.round(out["rgb"] * 255.0), 0, 255).astype(jnp.uint8)
+        )
+        sem = np.asarray(out["semantic"].astype(jnp.uint8))
+        name = f"{start_id + i:06d}.png"
+        Image.fromarray(rgb).save(os.path.join(image_dir, name))
+        Image.fromarray(sem).save(os.path.join(sem_dir, name))

