@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from .config import CameraIntrinsics, PipelineParams
-from .ops.frame_surfels import backproject
+from .ops.frame_surfels import backproject, central_normals
 from .ops.index_map import build_index_map
 from .ops.preprocess import metricize_depth, preprocess_frame
-from .ops.transforms import exp_se3, invert_se3, safe_normalize
+from .ops.transforms import compose, exp_se3, invert_se3, safe_normalize
 
 _EPS = 1e-12
 
@@ -47,8 +47,9 @@ def _normal_equations(
     r = jnp.sum(n_w * (v_w - p_w), axis=-1)
     J = jnp.concatenate([n_w, jnp.cross(v_w, n_w)], axis=-1)  # [P,6]
     wr = w * r
-    A = (J * w[:, None]).T @ J
-    b = -(J.T @ wr)
+    hp = jax.lax.Precision.HIGHEST
+    A = jnp.matmul((J * w[:, None]).T, J, precision=hp)
+    b = -jnp.matmul(J.T, wr, precision=hp)
     return A, b, jnp.sum(wr * r)
 
 
@@ -74,6 +75,11 @@ def refine_pose(
     """
     depth = depth_metric
     v_c = backproject(depth, cam).reshape(-1, 3)
+    # frame normals (camera frame) gate correspondences exactly like the
+    # fusion association's 0.5 rad angle gate (data.vert:158): pixels at depth
+    # discontinuities carry garbage normals and biased geometry, and ungated
+    # they drag the solution several cm along the view axis.
+    n_c = central_normals(depth, cam).reshape(-1, 3)
     d_flat = depth.reshape(-1)
     frame_valid = (d_flat > params.near_clip) & (d_flat < params.far_clip)
 
@@ -87,9 +93,19 @@ def refine_pose(
         p_w = smap.pos[safe]
         n_w = safe_normalize(smap.normal[safe])
 
-        v_w = v_c @ pose[:3, :3].T + pose[:3, 3]
+        v_w = jnp.matmul(v_c, pose[:3, :3].T, precision=jax.lax.Precision.HIGHEST) + pose[:3, 3]
+        # frame normals in world frame
+        n_fw = jnp.matmul(n_c, pose[:3, :3].T, precision=jax.lax.Precision.HIGHEST)
         r = jnp.sum(n_w * (v_w - p_w), axis=-1)
-        ok = frame_valid & has & (jnp.abs(r) < max_residual)
+        dist = jnp.linalg.norm(v_w - p_w, axis=-1)
+        angle_ok = jnp.sum(n_fw * n_w, axis=-1) > 0.878  # cos(0.5 rad)
+        ok = (
+            frame_valid
+            & has
+            & angle_ok
+            & (jnp.abs(r) < max_residual)
+            & (dist < 4.0 * max_residual)
+        )
         w = jnp.where(
             jnp.abs(r) < huber_delta, 1.0, huber_delta / jnp.maximum(jnp.abs(r), _EPS)
         )
@@ -97,11 +113,13 @@ def refine_pose(
 
         A, b, wss = _normal_equations(v_w, p_w, n_w, w)
         n_in = jnp.sum(ok)
-        # Levenberg damping SCALED to A so directions the scene does not
-        # constrain (e.g. all points on one plane) stay put instead of
-        # exploding along near-null eigenvectors.
-        lam = 1e-3 * jnp.trace(A) / 6.0 + 1e-8
-        A = A + jnp.eye(6, dtype=A.dtype) * lam
+        # Marquardt damping on diag(A): per-axis units (translation vs
+        # rotation lever arms) stay balanced, and directions the scene does
+        # not constrain (b ~ 0 there) stay put instead of exploding along
+        # near-null eigenvectors.
+        dA = jnp.diag(A)
+        damp = 1e-2 * dA + 1e-6 * jnp.max(dA) + 1e-12
+        A = A + jnp.diag(damp)
         delta = jax.scipy.linalg.solve(A, b, assume_a="pos")
         # trust region: clamp the per-iteration twist
         tnorm = jnp.linalg.norm(delta[:3])
@@ -114,7 +132,21 @@ def refine_pose(
         delta = delta * scale
         ill = ~jnp.all(jnp.isfinite(delta)) | (n_in < 64)
         delta = jnp.where(ill, jnp.zeros_like(delta), delta)
-        pose = exp_se3(delta) @ pose
+
+        # Step acceptance: evaluate the weighted SSE at a few step fractions
+        # over the SAME correspondence set and keep the best (including "no
+        # move") — a Gauss-Newton step against noisy normal equations can
+        # otherwise overshoot several multiples of the mean residual.
+        def sse_at(s):
+            P = compose(exp_se3(delta * s), pose)
+            vw = jnp.matmul(v_c, P[:3, :3].T, precision=jax.lax.Precision.HIGHEST) + P[:3, 3]
+            rr = jnp.sum(n_w * (vw - p_w), axis=-1)
+            return jnp.sum(w * rr * rr)
+
+        scales = jnp.array([1.0, 0.5, 0.25, 0.0], jnp.float32)
+        sses = jax.vmap(sse_at)(scales)
+        best = scales[jnp.argmin(sses)]
+        pose = compose(exp_se3(delta * best), pose)
         rmse = jnp.sqrt(wss / jnp.maximum(n_in.astype(jnp.float32), 1.0))
         return pose, rmse, n_in
 

@@ -31,6 +31,10 @@ class SyntheticScene:
     car_half: tuple[float, float, float] = (1.0, 0.8, 2.0)
     step: float = 0.8  # forward metres per frame
     noise_mm: float = 0.0
+    # additional BUILDING_CLASS boxes ((center), (half)) — static structures
+    # that enrich the constraint geometry (ICP tests need faces of several
+    # orientations in view)
+    extra_boxes: tuple = ()
 
     def pose(self, frame: int) -> np.ndarray:
         T = np.eye(4, dtype=np.float32)
@@ -75,20 +79,25 @@ class SyntheticScene:
             t_wall = (sign * self.wall_x - t[0]) / denom
             consider(t_wall, np.abs(wx) > 1e-6, BUILDING_CLASS)
 
-        # axis-aligned car box (slab method)
-        c = np.asarray(self.car_center)
-        h = np.asarray(self.car_half)
-        tmin = np.full((H, W), -np.inf)
-        tmax = np.full((H, W), np.inf)
-        for axis, (wdir, orig) in enumerate(
-            [(wx, t[0]), (wy, t[1]), (wz, t[2])]
-        ):
-            denom = np.where(np.abs(wdir) < 1e-9, 1e-9, wdir)
-            t1 = (c[axis] - h[axis] - orig) / denom
-            t2 = (c[axis] + h[axis] - orig) / denom
-            tmin = np.maximum(tmin, np.minimum(t1, t2))
-            tmax = np.minimum(tmax, np.maximum(t1, t2))
-        consider(tmin, tmax >= tmin, CAR_CLASS)
+        # axis-aligned boxes (slab method): the car + any extra structures
+        def box(center, half, cls):
+            c = np.asarray(center)
+            h = np.asarray(half)
+            tmin = np.full((H, W), -np.inf)
+            tmax = np.full((H, W), np.inf)
+            for axis, (wdir, orig) in enumerate(
+                [(wx, t[0]), (wy, t[1]), (wz, t[2])]
+            ):
+                denom = np.where(np.abs(wdir) < 1e-9, 1e-9, wdir)
+                t1 = (c[axis] - h[axis] - orig) / denom
+                t2 = (c[axis] + h[axis] - orig) / denom
+                tmin = np.maximum(tmin, np.minimum(t1, t2))
+                tmax = np.minimum(tmax, np.maximum(t1, t2))
+            consider(tmin, tmax >= tmin, cls)
+
+        box(self.car_center, self.car_half, CAR_CLASS)
+        for center, half in self.extra_boxes:
+            box(center, half, BUILDING_CLASS)
 
         # camera-frame depth: z component of the hit point in camera coords
         depth = np.where(np.isfinite(best_t), best_t * dz, 0.0)

@@ -3,6 +3,12 @@
 The reference passes 4x4 ``Eigen::Matrix4f`` poses into every shader
 (e.g. src/Shaders/data.vert:23, conflict.vert:16); here poses are f32[4,4]
 jnp arrays, camera-to-world unless suffixed ``_inv``.
+
+All matmuls here carry ``Precision.HIGHEST``: on TPU the default f32 matmul
+runs the MXU in bf16 (~8 mantissa bits), which at 10-30 m scene scale is
+several-cm positional error — fatal for surfel association gates and ICP.
+These products are 3x3/4x4-by-N and contribute nothing to the FLOP budget,
+so full-precision passes are free.
 """
 
 from __future__ import annotations
@@ -10,15 +16,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+HIGHEST = jax.lax.Precision.HIGHEST
+
 
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply a 4x4 rigid transform to [..., 3] points."""
-    return pts @ T[:3, :3].T + T[:3, 3]
+    return jnp.matmul(pts, T[:3, :3].T, precision=HIGHEST) + T[:3, 3]
 
 
 def rotate_vectors(T: jax.Array, vecs: jax.Array) -> jax.Array:
     """Apply only the rotation part of a 4x4 transform to [..., 3] vectors."""
-    return vecs @ T[:3, :3].T
+    return jnp.matmul(vecs, T[:3, :3].T, precision=HIGHEST)
 
 
 def invert_se3(T: jax.Array) -> jax.Array:
@@ -27,8 +35,13 @@ def invert_se3(T: jax.Array) -> jax.Array:
     t = T[:3, 3]
     Ti = jnp.eye(4, dtype=T.dtype)
     Ti = Ti.at[:3, :3].set(R.T)
-    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    Ti = Ti.at[:3, 3].set(-jnp.matmul(R.T, t, precision=HIGHEST))
     return Ti
+
+
+def compose(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Full-precision 4x4 pose composition A @ B."""
+    return jnp.matmul(A, B, precision=HIGHEST)
 
 
 def safe_normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
@@ -58,16 +71,17 @@ def exp_se3(xi: jax.Array) -> jax.Array:
     K = K / theta
     s = jnp.sin(theta)
     c = jnp.cos(theta)
-    R = jnp.eye(3, dtype=xi.dtype) + s * K + (1.0 - c) * (K @ K)
+    KK = jnp.matmul(K, K, precision=HIGHEST)
+    R = jnp.eye(3, dtype=xi.dtype) + s * K + (1.0 - c) * KK
     V = (
         jnp.eye(3, dtype=xi.dtype)
         + ((1.0 - c) / theta) * K
-        + ((theta - s) / theta) * (K @ K)
+        + ((theta - s) / theta) * KK
     )
     small = jnp.linalg.norm(w) < 1e-8
     R = jnp.where(small, jnp.eye(3, dtype=xi.dtype), R)
     V = jnp.where(small, jnp.eye(3, dtype=xi.dtype), V)
     T = jnp.eye(4, dtype=xi.dtype)
     T = T.at[:3, :3].set(R)
-    T = T.at[:3, 3].set(V @ v)
+    T = T.at[:3, 3].set(jnp.matmul(V, v, precision=HIGHEST))
     return T

@@ -39,7 +39,7 @@ from ..ops.association import AssociationResult, associate
 from ..ops.fusion import _column_major_flat
 from ..ops.index_map import INT32_MAX, _depth_key
 from ..ops.preprocess import preprocess_frame, remove_movings
-from ..ops.transforms import invert_se3, rotate_vectors, safe_normalize, transform_points
+from ..ops.transforms import compose, invert_se3, rotate_vectors, safe_normalize, transform_points
 from ..surfels import SurfelMap
 
 AXIS = "shard"
@@ -322,7 +322,7 @@ def make_sharded_step(
     @jax.jit
     def step(state, depth_raw, rgb, semantic, pose, last_depth, last_pose, time):
         depth_f = preprocess_frame(depth_raw, semantic, cam, params)
-        T_c2l = invert_se3(last_pose) @ pose
+        T_c2l = compose(invert_se3(last_pose), pose)
         depth_m = remove_movings(depth_f, semantic, last_depth, T_c2l, cam, params)
         new_state, stats = sharded(state, depth_m, rgb, semantic, pose, time)
         return new_state, depth_f, stats

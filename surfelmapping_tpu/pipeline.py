@@ -48,7 +48,7 @@ from .ops.fusion import (
 )
 from .ops.index_map import build_index_map
 from .ops.preprocess import metricize_depth, preprocess_frame, remove_movings
-from .ops.transforms import invert_se3
+from .ops.transforms import compose, invert_se3
 from .surfels import SurfelMap, empty_map, load_map, resize_map, save_map
 from .utils.stopwatch import Stopwatch
 
@@ -84,7 +84,7 @@ def _init_step(
     """tick==0 (post-reset) path: preprocess + movings + feedback-buffer init
     (src/SurfelMapping.cpp:161-168)."""
     filtered = preprocess_frame(depth_raw, semantic, cam, params)
-    T_c2l = invert_se3(last_pose) @ pose
+    T_c2l = compose(invert_se3(last_pose), pose)
     depth_m = remove_movings(filtered, semantic, last_depth, T_c2l, cam, params)
     frame = feedback_surfels(depth_m, rgb, semantic, cam, params)
     smap, dropped = initialize_map(smap, frame, pose, time)
@@ -106,7 +106,7 @@ def _fusion_step(
 ):
     """The incremental fusion step (tick > 0)."""
     filtered = preprocess_frame(depth_raw, semantic, cam, params)
-    T_c2l = invert_se3(last_pose) @ pose
+    T_c2l = compose(invert_se3(last_pose), pose)
     depth_m = remove_movings(filtered, semantic, last_depth, T_c2l, cam, params)
     T_inv = invert_se3(pose)
 

@@ -10,28 +10,50 @@ from surfelmapping_tpu.icp import preprocess_for_icp, refine_pose
 from surfelmapping_tpu.io.synthetic import SyntheticScene, tiny_cam
 from surfelmapping_tpu.pipeline import SurfelMapper
 
+# Three fronto-parallel faces at different (x, z) so depth (z), height (y),
+# pitch and yaw are all constrained; lateral x stays scene-unconstrained
+# (corridor gauge freedom) — the depth filter's support test removes grazing
+# surfaces exactly like the reference's depth_filter.frag, so axis-aligned
+# side faces never make it into the map.
+BOXES = (((-4.0, 0.6, 11.0), (1.0, 1.0, 1.5)), ((0.5, 0.7, 18.0), (1.2, 0.9, 1.0)))
 
-def test_icp_recovers_perturbed_pose():
+
+def _build(n_frames):
     cam = tiny_cam()
     # merging enabled so revisited surfels gain confidence and survive the
-    # conflict pass, giving ICP a well-constrained multi-plane model;
-    # smooth_radius=1 keeps the reference's 13x13 near-flat smoothing kernel
-    # (a view-dependent depth bias at grazing angles) out of the geometry
-    # so the test isolates the ICP solver itself
+    # conflict pass; smooth_radius=1 keeps the reference's 13x13 near-flat
+    # smoothing kernel (a view-dependent depth bias at grazing angles) out of
+    # the geometry so the test isolates the ICP solver itself
     m = SurfelMapper(
         cam,
         PipelineParams(fuse_thresh_factor=0.05, smooth_radius=1),
         MapConfig(capacity=1 << 15),
     )
-    scene = SyntheticScene(cam, step=0.4, car_center=(4.5, 0.8, 13.0))
-    for i in range(4):
+    scene = SyntheticScene(
+        cam, step=0.4, car_center=(4.5, 0.8, 13.0), extra_boxes=BOXES
+    )
+    for i in range(n_frames):
         rgb, d, s, T = scene.frame(i)
         m.process_frame(rgb, d, s, T)
     assert m.count > 0
+    return cam, m, scene
 
+
+def test_icp_recovers_perturbed_pose():
+    cam, m, scene = _build(4)
     rgb, d, s, T_gt = scene.frame(4)
-    # perturb: 10 cm forward + 5 cm lateral offset
-    T0 = T_gt.copy()
+    # perturb: 10 cm forward, 5 cm lateral, 0.7 deg yaw
+    yaw = np.deg2rad(0.7)
+    Ry = np.array(
+        [
+            [np.cos(yaw), 0, np.sin(yaw), 0],
+            [0, 1, 0, 0],
+            [-np.sin(yaw), 0, np.cos(yaw), 0],
+            [0, 0, 0, 1],
+        ],
+        np.float32,
+    )
+    T0 = T_gt @ Ry
     T0[0, 3] += 0.05
     T0[2, 3] += 0.10
 
@@ -46,27 +68,22 @@ def test_icp_recovers_perturbed_pose():
         iters=8,
     )
     refined = np.asarray(refined)
-    err0 = np.linalg.norm(T0[:3, 3] - T_gt[:3, 3])
-    err1 = np.linalg.norm(refined[:3, 3] - T_gt[:3, 3])
     assert int(diag["inliers"]) > 60
-    # the z perturbation is fully constrained by the car face; the residual
-    # error is the scene-unconstrained lateral component
+    # depth/height/yaw are fully constrained by the three faces + ground; the
+    # residual error is the scene-unconstrained lateral (x) component
     err_z = abs(refined[2, 3] - T_gt[2, 3])
+    err_y = abs(refined[1, 3] - T_gt[1, 3])
+    dR = refined[:3, :3].T @ T_gt[:3, :3]
+    yaw_err = abs(np.arctan2(dR[0, 2], dR[0, 0]))
     assert err_z < 0.02, f"ICP left z error {err_z:.4f} m"
-    assert err1 < 0.07, f"ICP did not improve: {err0:.4f} -> {err1:.4f}"
+    assert err_y < 0.02, f"ICP left y error {err_y:.4f} m"
+    assert yaw_err < np.deg2rad(0.3), f"ICP left yaw error {np.rad2deg(yaw_err):.3f} deg"
+    err1 = np.linalg.norm(refined[:3, 3] - T_gt[:3, 3])
+    assert err1 < 0.07, f"ICP residual translation error {err1:.4f} m"
 
 
 def test_icp_identity_stays_put():
-    cam = tiny_cam()
-    m = SurfelMapper(
-        cam,
-        PipelineParams(fuse_thresh_factor=0.05, smooth_radius=1),
-        MapConfig(capacity=1 << 15),
-    )
-    scene = SyntheticScene(cam, step=0.4, car_center=(4.5, 0.8, 13.0))
-    for i in range(3):
-        rgb, d, s, T = scene.frame(i)
-        m.process_frame(rgb, d, s, T)
+    cam, m, scene = _build(3)
     rgb, d, s, T_gt = scene.frame(2)
     depth_m = preprocess_for_icp(jnp.asarray(d), jnp.asarray(s.astype("int32")),
                                  cam, m.params)
@@ -75,4 +92,4 @@ def test_icp_identity_stays_put():
         iters=4,
     )
     drift = np.linalg.norm(np.asarray(refined)[:3, 3] - T_gt[:3, 3])
-    assert drift < 0.05, f"ICP drifted {drift:.4f} m from a correct pose"
+    assert drift < 0.01, f"ICP drifted {drift:.4f} m from a correct pose"
