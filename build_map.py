@@ -86,7 +86,7 @@ def main(argv=None) -> int:
     history = []
     for fid, rgb, depth, sem, pose in frames():
         if icp is not None and mapper.count > 0:
-            pose = icp.refine(mapper.smap, depth, sem, pose)
+            pose = icp.refine(mapper._smap, depth, sem, pose)  # raw map: ICP gates tombstones itself
         stats = mapper.process_frame(rgb, depth, sem, pose)
         history.append((fid, rgb, depth, sem, pose))
         n_frames += 1

@@ -129,5 +129,24 @@ class MapConfig:
     growth_factor: float = 2.0
     watermark: float = 0.85  # grow when count exceeds watermark * capacity
 
+    # Active-block residency (ops/active.py): the map is partitioned into
+    # fixed blocks; per-frame indexed work touches only blocks intersecting
+    # the view frustum.  ``active_blocks`` bounds the gathered working set
+    # (grown by the host when the frustum needs more); block granularity
+    # works because surfels append in scan order (spatial locality).
+    block_size: int = 2048
+    active_blocks: int = 256
+    active_watermark: float = 0.75  # grow active_blocks past this occupancy
+    # Deferred removal: conflict tombstones (conf <= 0) are reclaimed by a
+    # full compaction only when they exceed this fraction of capacity (and at
+    # checkpoint/clean boundaries) — per-frame compaction is what made round
+    # 1 O(capacity).
+    compact_dead_frac: float = 0.25
+
+    def rounded_capacity(self, cap: int) -> int:
+        """Round a slot count up to a whole number of blocks."""
+        b = self.block_size
+        return max(b, ((cap + b - 1) // b) * b)
+
 
 DEFAULT_PARAMS = PipelineParams()

@@ -74,12 +74,14 @@ def refine_pose(
     Returns (pose, diagnostics dict with rmse/inliers of the last iteration).
     """
     depth = depth_metric
-    v_c = backproject(depth, cam).reshape(-1, 3)
+    vx, vy, vz = backproject(depth, cam)
+    v_c = jnp.stack([vx.reshape(-1), vy.reshape(-1), vz.reshape(-1)], axis=-1)
     # frame normals (camera frame) gate correspondences exactly like the
     # fusion association's 0.5 rad angle gate (data.vert:158): pixels at depth
     # discontinuities carry garbage normals and biased geometry, and ungated
     # they drag the solution several cm along the view axis.
-    n_c = central_normals(depth, cam).reshape(-1, 3)
+    ncx, ncy, ncz = central_normals(depth, cam)
+    n_c = jnp.stack([ncx.reshape(-1), ncy.reshape(-1), ncz.reshape(-1)], axis=-1)
     d_flat = depth.reshape(-1)
     frame_valid = (d_flat > params.near_clip) & (d_flat < params.far_clip)
 
@@ -90,8 +92,11 @@ def refine_pose(
         ids = idx.reshape(-1)
         has = ids > 0
         safe = jnp.clip(ids, 0, smap.capacity - 1)
-        p_w = smap.pos[safe]
-        n_w = safe_normalize(smap.normal[safe])
+        # planar 1D gathers (fast path), stacked only at the small [P,3] stage
+        p_w = jnp.stack([smap.px[safe], smap.py[safe], smap.pz[safe]], axis=-1)
+        n_w = safe_normalize(
+            jnp.stack([smap.nx[safe], smap.ny[safe], smap.nz[safe]], axis=-1)
+        )
 
         v_w = jnp.matmul(v_c, pose[:3, :3].T, precision=jax.lax.Precision.HIGHEST) + pose[:3, 3]
         # frame normals in world frame

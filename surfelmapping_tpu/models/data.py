@@ -25,10 +25,11 @@ def random_erasing(
     p: float = 0.8,
     sl: float = 0.02,
     sh: float = 0.3,
-    r1: float = 0.3,
+    r1: float = 0.2,
     value: float = 0.0,
 ) -> np.ndarray:
-    """Cutout augmentation (SPADE/util/random_erasing.py, erase value 0)."""
+    """Cutout augmentation (SPADE/util/random_erasing.py:27, defaults p=0.8,
+    sl=0.02, sh=0.3, r1=0.2; erase value 0 per base_dataset.py:83-84)."""
     if rng.random() > p:
         return img
     H, W = img.shape[:2]

@@ -9,19 +9,23 @@ append time):
   * feedback-buffer surfel creation + 1/2-sparse checkerboard:
                                                   src/Shaders/surfel_feedback.vert
   * the candidate half of the association kernel: src/Shaders/data.vert:59-113
+
+All vector quantities are PLANAR (separate [H,W] component images): XLA pads
+trailing-3 arrays to 128 lanes (42.7x memory/traffic — see surfels.py), so
+[H,W,3] stacks are banned from the frame path.  Color+semantics travel as one
+bit-packed [H,W] float (ops/colors.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp
 
 from ..config import CameraIntrinsics, PipelineParams
+from .colors import encode_color
 from .preprocess import _shift
-from .transforms import safe_normalize
 
 SQRT2 = 1.41421356237
 
@@ -34,17 +38,17 @@ def pixel_grid(cam: CameraIntrinsics) -> tuple[jax.Array, jax.Array]:
     return x, y
 
 
-def backproject(depth: jax.Array, cam: CameraIntrinsics) -> jax.Array:
-    """Depth image -> camera-frame vertex map f32[H,W,3]
-    (geometry.glsl getVertex: X=(x-cx)z/fx, Y=(y-cy)z/fy, Z=z)."""
+def backproject(depth: jax.Array, cam: CameraIntrinsics):
+    """Depth image -> camera-frame vertex component images (X, Y, Z), each
+    f32[H,W] (geometry.glsl getVertex: X=(x-cx)z/fx, Y=(y-cy)z/fy, Z=z)."""
     x, y = pixel_grid(cam)
     X = (x - cam.cx) * depth / cam.fx
     Y = (y - cam.cy) * depth / cam.fy
-    return jnp.stack([X, Y, depth], axis=-1)
+    return X, Y, depth
 
 
-def central_normals(depth: jax.Array, cam: CameraIntrinsics) -> jax.Array:
-    """Central-difference normal map f32[H,W,3]
+def central_normals(depth: jax.Array, cam: CameraIntrinsics):
+    """Central-difference normal component images (nx, ny, nz), each f32[H,W]
     (geometry.glsl getNormal float overload: n = normalize(cross(Vxb - Vxf,
     Vyb - Vyf))).
 
@@ -52,20 +56,25 @@ def central_normals(depth: jax.Array, cam: CameraIntrinsics) -> jax.Array:
     to the edge texel while the unclamped pixel coordinate (x±1, y±1) is used
     for back-projection.
     """
-    H, W = depth.shape
     x, y = pixel_grid(cam)
 
-    def vertex_at(dy: int, dx: int) -> jax.Array:
+    def vertex_at(dy: int, dx: int):
         d, _ = _shift(depth, dy, dx)  # clamped depth sample
         xs = x + dx  # unclamped coordinate, as the shader passes x±1
         ys = y + dy
-        return jnp.stack(
-            [(xs - cam.cx) * d / cam.fx, (ys - cam.cy) * d / cam.fy, d], axis=-1
-        )
+        return (xs - cam.cx) * d / cam.fx, (ys - cam.cy) * d / cam.fy, d
 
-    del_x = vertex_at(0, -1) - vertex_at(0, 1)
-    del_y = vertex_at(-1, 0) - vertex_at(1, 0)
-    return safe_normalize(jnp.cross(del_x, del_y))
+    lx, ly, lz = vertex_at(0, -1)
+    rx, ry, rz = vertex_at(0, 1)
+    ux, uy, uz = vertex_at(-1, 0)
+    dx_, dy_, dz_ = vertex_at(1, 0)
+    ax, ay, az = lx - rx, ly - ry, lz - rz          # del_x
+    bx, by, bz = ux - dx_, uy - dy_, uz - dz_       # del_y
+    cx = ay * bz - az * by
+    cy = az * bx - ax * bz
+    cz = ax * by - ay * bx
+    n = jnp.maximum(jnp.sqrt(cx * cx + cy * cy + cz * cz), 1e-12)
+    return cx / n, cy / n, cz / n
 
 
 def surfel_radius(depth: jax.Array, norm_z: jax.Array, cam: CameraIntrinsics) -> jax.Array:
@@ -101,15 +110,20 @@ def neighbours_nonzero(depth: jax.Array) -> jax.Array:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FrameSurfels:
-    """Dense per-pixel candidate surfels in the CAMERA frame ([H,W] leaves)."""
+    """Dense per-pixel candidate surfels in the CAMERA frame (planar [H,W]
+    leaves; colorsem carries packed color+class)."""
 
-    pos: jax.Array      # f32[H,W,3]
-    normal: jax.Array   # f32[H,W,3]
-    radius: jax.Array   # f32[H,W]
-    conf: jax.Array     # f32[H,W]
-    rgb: jax.Array      # f32[H,W,3]
-    sem: jax.Array      # i32[H,W]
-    valid: jax.Array    # bool[H,W]
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
+    nx: jax.Array
+    ny: jax.Array
+    nz: jax.Array
+    radius: jax.Array
+    conf: jax.Array
+    colorsem: jax.Array
+    sem: jax.Array       # i32[H,W] (kept unpacked: the association gate reads it)
+    valid: jax.Array     # bool[H,W]
 
 
 def feedback_surfels(
@@ -121,18 +135,23 @@ def feedback_surfels(
 ) -> FrameSurfels:
     """The FeedbackBuffer pass (surfel_feedback.vert/.geom +
     src/FeedbackBuffer.cpp:85-145): camera-frame surfels for every valid
-    pixel, validity = z>0 && z<maxDepth && checkerboard."""
-    pos = backproject(depth, cam)
-    normal = central_normals(depth, cam)
-    radius = surfel_radius(depth, normal[..., 2], cam)
+    pixel, validity = z>0 && z<maxDepth && checkerboard.
+
+    ``rgb`` is f32[H,W,3] in [0,1] straight from IO; it is bit-packed with
+    the class id here (color.glsl encodeColor quantization) and never
+    travels stacked again."""
+    px, py, pz = backproject(depth, cam)
+    nx, ny, nz = central_normals(depth, cam)
+    radius = surfel_radius(depth, nz, cam)
+    sem = semantic.astype(jnp.int32)
     valid = (depth > 0.0) & (depth < params.far_clip) & checkerboard(cam)
     return FrameSurfels(
-        pos=pos,
-        normal=normal,
+        px=px, py=py, pz=pz,
+        nx=nx, ny=ny, nz=nz,
         radius=radius,
         conf=jnp.full(depth.shape, params.conf_new, jnp.float32),
-        rgb=rgb,
-        sem=semantic.astype(jnp.int32),
+        colorsem=encode_color(rgb, sem.astype(jnp.uint32)),
+        sem=sem,
         valid=valid,
     )
 
@@ -158,12 +177,11 @@ def association_candidates(
     return dataclasses.replace(fs, valid=valid)
 
 
-def ray_geometry(cam: CameraIntrinsics) -> tuple[jax.Array, jax.Array]:
-    """Per-pixel unit-plane ray (xl, yl, 1) and its length lambda
-    (data.vert:65-71)."""
+def ray_geometry(cam: CameraIntrinsics):
+    """Per-pixel unit-plane ray components (xl, yl) and length lambda
+    (data.vert:65-71); the z component is identically 1."""
     x, y = pixel_grid(cam)
     xl = (x - cam.cx) / cam.fx
     yl = (y - cam.cy) / cam.fy
     lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
-    ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
-    return ray, lam
+    return xl, yl, lam

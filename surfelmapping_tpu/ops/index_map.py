@@ -1,4 +1,4 @@
-"""Projective index map: per-pixel argmin-depth surfel id.
+"""Projective index map: per-pixel argmin-depth surfel id (full-map form).
 
 TPU-native replacement of the reference's depth-tested point render into a
 4-attachment FBO (src/IndexMap.cpp:138-198, src/Shaders/index_map.vert/.frag).
@@ -9,6 +9,11 @@ The GL z-buffer is re-expressed as a two-pass scatter-argmin:
   2. surfels whose depth equals their pixel's min re-scatter their id with a
      min-reduce (ties resolve to the smallest id; GL resolves ties by draw
      order, which the reference never relies on).
+
+This full-map form serves consumers that associate against the WHOLE map
+(ICP refinement, the offline clean pass); the per-frame fusion pipeline uses
+the active-table form (ops/active.py:index_active) so its cost tracks the
+in-frustum working set.
 
 The reference additionally renders camera-frame position/color/normal
 attachments; on TPU consumers simply gather those attributes from the surfel
@@ -28,7 +33,7 @@ import jax.numpy as jnp
 
 from ..config import CameraIntrinsics, PipelineParams
 from ..surfels import SurfelMap
-from .transforms import rotate_vectors, safe_normalize, transform_points
+from .transforms import normalize_planar, rotate_planar, transform_planar
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -67,17 +72,16 @@ def scatter_argmin_image(
 
 def project_surfels(
     smap: SurfelMap, T_inv: jax.Array, cam: CameraIntrinsics
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Camera-frame positions + continuous projections of every slot.
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Camera-frame planar positions + continuous projections of every slot.
 
-    Returns (pos_cam f32[N,3], u f32[N], v f32[N]).
+    Returns (x, y, z, u, v), all f32[N].
     """
-    pc = transform_points(T_inv, smap.pos)
-    z = pc[:, 2]
+    x, y, z = transform_planar(T_inv, smap.px, smap.py, smap.pz)
     safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    u = cam.fx * pc[:, 0] / safe_z + cam.cx
-    v = cam.fy * pc[:, 1] / safe_z + cam.cy
-    return pc, u, v
+    u = cam.fx * x / safe_z + cam.cx
+    v = cam.fy * y / safe_z + cam.cy
+    return x, y, z, u, v
 
 
 def build_index_map(
@@ -97,9 +101,9 @@ def build_index_map(
     factor = params.index_factor
     icam = cam.scaled(factor)
     H, W = icam.height, icam.width
-    pc, u, v = project_surfels(smap, T_inv, icam)
-    z = pc[:, 2]
-    live = smap.live_mask()
+    _, _, z, u, v = project_surfels(smap, T_inv, icam)
+    # conf > 0 also excludes tombstoned surfels awaiting deferred compaction
+    live = smap.live_mask() & (smap.conf > 0.0)
     fresh = (time - smap.last_t) <= params.time_delta
     pi = jnp.ceil(u).astype(jnp.int32) - 1
     pj = jnp.ceil(v).astype(jnp.int32) - 1
@@ -116,16 +120,21 @@ def gather_fields(
     """Gather camera-frame attributes of ``ids`` (i32[...]) from the map —
     the TPU equivalent of the reference's vertConf/colorTime/normRad index-map
     attachments (index_map.vert:61-63).  Caller must mask with its own
-    validity; out-of-range ids clamp."""
+    validity; out-of-range ids clamp.
+
+    Planar columns in/out; ``pos``/``normal`` keys are stacked [...,3] views
+    for geometry consumers (ICP) — fine off the per-frame hot path.
+    """
     safe = jnp.clip(ids, 0, smap.capacity - 1)
-    pos_cam = transform_points(T_inv, smap.pos[safe])
-    normal_cam = safe_normalize(rotate_vectors(T_inv, smap.normal[safe]))
+    x, y, z = transform_planar(T_inv, smap.px[safe], smap.py[safe], smap.pz[safe])
+    nx, ny, nz = normalize_planar(
+        *rotate_planar(T_inv, smap.nx[safe], smap.ny[safe], smap.nz[safe])
+    )
     return {
-        "pos": pos_cam,
+        "pos": jnp.stack([x, y, z], axis=-1),
         "conf": smap.conf[safe],
-        "rgb": smap.rgb[safe],
-        "sem": smap.sem[safe],
+        "colorsem": smap.colorsem[safe],
         "init_t": smap.init_t[safe],
-        "normal": normal_cam,
+        "normal": jnp.stack([nx, ny, nz], axis=-1),
         "radius": smap.radius[safe],
     }

@@ -17,7 +17,7 @@ from ..config import CameraIntrinsics, PipelineParams
 from ..surfels import SurfelMap
 from .frame_surfels import association_candidates
 from .fusion import _column_major_flat
-from .transforms import rotate_vectors, safe_normalize, transform_points
+from .transforms import normalize_planar, rotate_planar, transform_planar
 
 
 def local_surfel_model(
@@ -33,9 +33,8 @@ def local_surfel_model(
     (capacity = H*W, live prefix = number of valid pixels, reference uv
     column-major order)."""
     fs = association_candidates(depth, rgb, semantic, cam, params)
-    pos_w = transform_points(pose, fs.pos)
-    normal_w = safe_normalize(rotate_vectors(pose, fs.normal))
-    rgb_q = jnp.round(jnp.clip(fs.rgb, 0.0, 1.0) * 255.0) / 255.0
+    wx, wy, wz = transform_planar(pose, fs.px, fs.py, fs.pz)
+    wnx, wny, wnz = normalize_planar(*rotate_planar(pose, fs.nx, fs.ny, fs.nz))
 
     valid = _column_major_flat(fs.valid)
     n = valid.shape[0]
@@ -43,20 +42,18 @@ def local_surfel_model(
     count = jnp.maximum(dest[-1] + 1, 0)
     idx = jnp.where(valid, dest, n)
 
-    def cp(a, extra_shape=()):
+    def cp(a):
         src = _column_major_flat(a)
-        out = jnp.zeros((n,) + extra_shape, src.dtype)
-        return out.at[idx].set(src, mode="drop")
+        return jnp.zeros((n,), src.dtype).at[idx].set(src, mode="drop")
 
     t = jnp.full(fs.conf.shape, time, jnp.float32)
     return SurfelMap(
-        pos=cp(pos_w, (3,)),
+        px=cp(wx), py=cp(wy), pz=cp(wz),
         conf=cp(fs.conf),
-        rgb=cp(rgb_q, (3,)),
-        sem=cp(fs.sem),
+        colorsem=cp(fs.colorsem),
         init_t=cp(t),
         last_t=cp(t),
-        normal=cp(normal_w, (3,)),
+        nx=cp(wnx), ny=cp(wny), nz=cp(wnz),
         radius=cp(fs.radius),
         count=count.astype(jnp.int32),
     )

@@ -24,6 +24,9 @@ Divergence (documented): GL interpolates depth screen-linearly across the
 quad; we use the true geometric depth of the plane intersection.  For splats
 a few pixels wide the difference is far below the z-buffer's discrimination
 needs.
+
+All per-surfel math is planar (component columns) — see surfels.py for why
+(N,3) stacks are banned on TPU.
 """
 
 from __future__ import annotations
@@ -33,45 +36,47 @@ import jax.numpy as jnp
 
 from ..config import CameraIntrinsics
 from ..surfels import SurfelMap
+from .colors import decode_color
 from .index_map import INT32_MAX, _depth_key
-from .transforms import invert_se3, rotate_vectors, safe_normalize, transform_points
+from .transforms import invert_se3, normalize_planar, rotate_planar, transform_planar
 
 SQRT2 = 1.41421356237
 
 
-def _splat_frames(
-    p: jax.Array, n: jax.Array, radius: jax.Array
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-surfel splat plane: returns (X axis, Y axis, plane normal), all
-    f32[N,3], in the render camera frame."""
-    z = p[:, 2]
-    far_mode = z > 5.0
+def _splat_frames(px, py, pz, nx, ny, nz, radius):
+    """Per-surfel splat plane: returns (X axis, Y axis, plane normal) as
+    planar component triples, in the render camera frame."""
+    far_mode = pz > 5.0
 
     # near (oriented) branch
-    eye = p
-    cosang = jnp.sum(eye * n, axis=-1) / jnp.maximum(
-        jnp.linalg.norm(eye, axis=-1) * jnp.linalg.norm(n, axis=-1), 1e-12
-    )
+    dot_en = px * nx + py * ny + pz * nz
+    elen = jnp.sqrt(px * px + py * py + pz * pz)
+    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    cosang = dot_en / jnp.maximum(elen * nlen, 1e-12)
     rad_near = radius / (1.0 + 0.5 * jnp.abs(cosang))
-    x_near = safe_normalize(
-        jnp.stack([n[:, 1] - n[:, 2], -n[:, 0], n[:, 0]], axis=-1)
-    ) * (rad_near * SQRT2)[:, None]
-    y_near = jnp.cross(n, x_near)
+    # x_near = normalize((n.y - n.z, -n.x, n.x)) * rad_near*sqrt2
+    ax, ay, az = normalize_planar(ny - nz, -nx, nx)
+    sn = rad_near * SQRT2
+    xnx, xny, xnz = ax * sn, ay * sn, az * sn
+    # y_near = cross(n, x_near)
+    ynx = ny * xnz - nz * xny
+    yny = nz * xnx - nx * xnz
+    ynz = nx * xny - ny * xnx
 
-    # far (view-aligned) branch: tmpNorm = (0,0,1)
-    x_far = jnp.stack(
-        [-jnp.ones_like(radius), jnp.zeros_like(radius), jnp.zeros_like(radius)],
-        axis=-1,
-    ) * (radius * SQRT2)[:, None]
-    y_far = jnp.stack(
-        [jnp.zeros_like(radius), -jnp.ones_like(radius), jnp.zeros_like(radius)],
-        axis=-1,
-    ) * (radius * SQRT2)[:, None]
+    # far (view-aligned) branch: X = (-1,0,0)*r*sqrt2, Y = (0,-1,0)*r*sqrt2
+    sf = radius * SQRT2
+    Xx = jnp.where(far_mode, -sf, xnx)
+    Xy = jnp.where(far_mode, 0.0, xny)
+    Xz = jnp.where(far_mode, 0.0, xnz)
+    Yx = jnp.where(far_mode, 0.0, ynx)
+    Yy = jnp.where(far_mode, -sf, yny)
+    Yz = jnp.where(far_mode, 0.0, ynz)
 
-    X = jnp.where(far_mode[:, None], x_far, x_near)
-    Y = jnp.where(far_mode[:, None], y_far, y_near)
-    plane_n = safe_normalize(jnp.cross(X, Y))
-    return X, Y, plane_n
+    # plane normal = normalize(cross(X, Y))
+    pnx, pny, pnz = normalize_planar(
+        Xy * Yz - Xz * Yy, Xz * Yx - Xx * Yz, Xx * Yy - Xy * Yx
+    )
+    return (Xx, Xy, Xz), (Yx, Yy, Yz), (pnx, pny, pnz)
 
 
 def splat_render(
@@ -97,19 +102,21 @@ def splat_render(
     H, W = cam.height, cam.width
     num_pix = H * W
 
-    p = transform_points(T_inv, smap.pos)
-    n = safe_normalize(rotate_vectors(T_inv, smap.normal))
-    z = p[:, 2]
-    active = smap.live_mask() & (z > 1.0) & (z < max_depth)
+    px, py, pz = transform_planar(T_inv, smap.px, smap.py, smap.pz)
+    nx, ny, nz = normalize_planar(*rotate_planar(T_inv, smap.nx, smap.ny, smap.nz))
+    # conf > 0 also excludes tombstoned surfels awaiting deferred compaction
+    active = smap.live_mask() & (smap.conf > 0.0) & (pz > 1.0) & (pz < max_depth)
 
-    X, Y, plane_n = _splat_frames(p, n, smap.radius)
-    inv_x2 = 1.0 / jnp.maximum(jnp.sum(X * X, axis=-1), 1e-18)
-    inv_y2 = 1.0 / jnp.maximum(jnp.sum(Y * Y, axis=-1), 1e-18)
-    n_dot_p = jnp.sum(plane_n * p, axis=-1)
+    (Xx, Xy, Xz), (Yx, Yy, Yz), (pnx, pny, pnz) = _splat_frames(
+        px, py, pz, nx, ny, nz, smap.radius
+    )
+    inv_x2 = 1.0 / jnp.maximum(Xx * Xx + Xy * Xy + Xz * Xz, 1e-18)
+    inv_y2 = 1.0 / jnp.maximum(Yx * Yx + Yy * Yy + Yz * Yz, 1e-18)
+    n_dot_p = pnx * px + pny * py + pnz * pz
 
-    safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    uc = cam.fx * p[:, 0] / safe_z + cam.cx
-    vc = cam.fy * p[:, 1] / safe_z + cam.cy
+    safe_z = jnp.where(jnp.abs(pz) < 1e-12, 1e-12, pz)
+    uc = cam.fx * px / safe_z + cam.cx
+    vc = cam.fy * py / safe_z + cam.cy
     pi0 = jnp.floor(uc).astype(jnp.int32)
     pj0 = jnp.floor(vc).astype(jnp.int32)
 
@@ -117,23 +124,23 @@ def splat_render(
     offsets = [(dj, di) for dj in range(-R, R + 1) for di in range(-R, R + 1)]
 
     def offset_hit(dj: int, di: int):
-        px = pi0 + di
-        py = pj0 + dj
+        qpx = pi0 + di
+        qpy = pj0 + dj
         # pixel ray through (px+0.5, py+0.5)
-        dx = (px.astype(jnp.float32) + 0.5 - cam.cx) / cam.fx
-        dy = (py.astype(jnp.float32) + 0.5 - cam.cy) / cam.fy
-        denom = plane_n[:, 0] * dx + plane_n[:, 1] * dy + plane_n[:, 2]
+        dx = (qpx.astype(jnp.float32) + 0.5 - cam.cx) / cam.fx
+        dy = (qpy.astype(jnp.float32) + 0.5 - cam.cy) / cam.fy
+        denom = pnx * dx + pny * dy + pnz
         denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
         t = n_dot_p / denom
-        qx = t * dx - p[:, 0]
-        qy = t * dy - p[:, 1]
-        qz = t - p[:, 2]
-        a = (qx * X[:, 0] + qy * X[:, 1] + qz * X[:, 2]) * inv_x2
-        b = (qx * Y[:, 0] + qy * Y[:, 1] + qz * Y[:, 2]) * inv_y2
+        qx = t * dx - px
+        qy = t * dy - py
+        qz = t - pz
+        a = (qx * Xx + qy * Xy + qz * Xz) * inv_x2
+        b = (qx * Yx + qy * Yy + qz * Yz) * inv_y2
         inside = (a * a + b * b) <= 0.5
-        inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        inb = (qpx >= 0) & (qpx < W) & (qpy >= 0) & (qpy < H)
         ok = active & inside & inb & (t > 0.0) & (t < max_depth)
-        flat = jnp.where(ok, py * W + px, num_pix)
+        flat = jnp.where(ok, qpy * W + qpx, num_pix)
         return flat, t, ok
 
     # pass 1: depth z-buffer
@@ -154,8 +161,9 @@ def splat_render(
 
     hole = id_buf == INT32_MAX
     wid = jnp.where(hole, 0, id_buf)
-    rgb = jnp.where(hole[:, None], 0.0, smap.rgb[wid]).reshape(H, W, 3)
-    sem = jnp.where(hole, 0, smap.sem[wid] + 1).reshape(H, W).astype(jnp.int32)
+    w_rgb, w_sem = decode_color(smap.colorsem[wid])
+    rgb = jnp.where(hole[:, None], 0.0, w_rgb).reshape(H, W, 3)
+    sem = jnp.where(hole, 0, w_sem.astype(jnp.int32) + 1).reshape(H, W)
     depth_f = jax.lax.bitcast_convert_type(depth_buf, jnp.float32)
     depth_img = jnp.where(hole, 0.0, depth_f).reshape(H, W)
     id_img = jnp.where(hole, -1, id_buf).reshape(H, W)

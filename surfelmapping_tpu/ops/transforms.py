@@ -29,6 +29,35 @@ def rotate_vectors(T: jax.Array, vecs: jax.Array) -> jax.Array:
     return jnp.matmul(vecs, T[:3, :3].T, precision=HIGHEST)
 
 
+def transform_planar(T: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array):
+    """Rigid transform on planar point columns -> (x', y', z').
+
+    Componentized so no (N,3) temp is ever materialized (XLA pads trailing-3
+    arrays 42.7x on TPU — see surfels.py layout notes)."""
+    R, t = T[:3, :3], T[:3, 3]
+    return (
+        R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + t[0],
+        R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + t[1],
+        R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + t[2],
+    )
+
+
+def rotate_planar(T: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array):
+    """Rotation-only transform on planar vector columns -> (x', y', z')."""
+    R = T[:3, :3]
+    return (
+        R[0, 0] * x + R[0, 1] * y + R[0, 2] * z,
+        R[1, 0] * x + R[1, 1] * y + R[1, 2] * z,
+        R[2, 0] * x + R[2, 1] * y + R[2, 2] * z,
+    )
+
+
+def normalize_planar(x: jax.Array, y: jax.Array, z: jax.Array):
+    """Unit-normalize planar vector columns (safe at zero length)."""
+    n = jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-12)
+    return x / n, y / n, z / n
+
+
 def invert_se3(T: jax.Array) -> jax.Array:
     """Closed-form inverse of a rigid transform."""
     R = T[:3, :3]

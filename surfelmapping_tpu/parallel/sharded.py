@@ -1,33 +1,37 @@
-"""Slot-sharded surfel fusion over a JAX device mesh.
+"""Block-sharded surfel fusion over a JAX device mesh.
 
 The reference has no distributed execution at all (single process, single GL
 context; SURVEY.md section 2d).  This module is the scaling design the TPU
-build adds: the surfel buffer is sharded across a 1-D ``shard`` mesh axis
-(each device owns capacity/D contiguous slots with its own live count), and
-one fusion step runs under ``shard_map`` with exactly three collectives:
+build adds: the planar surfel buffer is sharded across a 1-D ``shard`` mesh
+axis (each device owns capacity/D contiguous slots with its own live count),
+every device runs the SAME active-block machinery as the single-chip engine
+(ops/active.py — plan/gather/conflict/index/associate/fuse are imported, not
+re-implemented) over its own slots, and the cross-device coupling is exactly
+THREE image-sized collectives per frame:
 
-  1. ``pmin`` over per-device index-map depth keys — the cross-chip z-buffer;
-  2. ``pmin`` over winner-id candidates — deterministic tie-break (min global
-     id) for the cross-chip winner resolution;
-  3. ``psum`` of per-pixel gathered attributes — each device contributes the
-     attribute images for the pixels whose winning surfel it owns.
+  1. ``pmin`` of the per-device z-buffer depth keys  (i32[H*W])   — the
+     cross-chip depth test;
+  2. ``pmin`` of per-device winner GLOBAL ids         (i32[H*W])  — winner
+     resolution with the same min-id tie-break as the single-chip engine;
+  3. ``pmax`` of the per-device "pixel matched" mask  (i32[Hc*Wc]) — so every
+     device knows which valid pixels became new surfels.
 
-All other stages (conflict test, compaction, merge math, fuse scatter,
-append) are purely local to each shard.  New surfels are dealt round-robin by
-global rank so shards stay balanced; surfel ids are frame-ephemeral (consumed
-by the fuse scatter in the same step), so per-device re-compaction never
-breaks mark invariants.
+Association gathers and the fuse scatter address only the LOCAL slot range
+of the winning device (no attribute images are exchanged — round 1's design
+psum'd 7 attribute images per frame, which capped scaling).  New surfels are
+dealt round-robin by lattice rank so shards stay balanced; removal is
+tombstoned per shard exactly like the single-chip engine.
 
-Frame preprocessing is replicated (it is <1% of the per-frame FLOPs); the
-association math is likewise computed identically on every device from the
-psum-combined images — redundant VPU work traded for zero extra collectives.
+Multi-host: the same ``make_sharded_step`` works over a mesh spanning hosts
+(``jax.distributed.initialize`` + a global mesh); the three collectives ride
+ICI within a host and DCN across hosts.  See parallel/distributed.py for the
+multi-host entry helper and the scaling benchmark.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -35,77 +39,93 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import CameraIntrinsics, PipelineParams
-from ..ops.association import AssociationResult, associate
-from ..ops.fusion import _column_major_flat
-from ..ops.index_map import INT32_MAX, _depth_key
+from ..ops.active import (
+    INT32_MAX,
+    append_round_robin,
+    associate_active,
+    conflict_active,
+    fuse_active,
+    gather_active,
+    index_candidates,
+    index_resolve,
+    map_from_table,
+    plan_active_blocks,
+    table_from_map,
+    writeback_active,
+)
 from ..ops.preprocess import preprocess_frame, remove_movings
-from ..ops.transforms import compose, invert_se3, rotate_vectors, safe_normalize, transform_points
+from ..ops.transforms import compose, invert_se3
 from ..surfels import SurfelMap
 
 AXIS = "shard"
 
 
 # ---------------------------------------------------------------------------
-# Sharded state
+# Sharded state (planar, like surfels.SurfelMap, with per-device counts)
 # ---------------------------------------------------------------------------
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ShardedMapState:
-    """SurfelMap with a per-device live count.  Array leaves are sharded on
-    axis 0 with PartitionSpec('shard'); counts is i32[D] (one per device)."""
+    """Planar SurfelMap columns sharded on axis 0 with PartitionSpec('shard');
+    counts is i32[D] (one live-prefix cursor per device)."""
 
-    pos: jax.Array
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
     conf: jax.Array
-    rgb: jax.Array
-    sem: jax.Array
+    colorsem: jax.Array
     init_t: jax.Array
     last_t: jax.Array
-    normal: jax.Array
+    nx: jax.Array
+    ny: jax.Array
+    nz: jax.Array
     radius: jax.Array
     counts: jax.Array  # i32[D]
+
+
+_COLS = ("px", "py", "pz", "conf", "colorsem", "init_t", "last_t",
+         "nx", "ny", "nz", "radius")
 
 
 def empty_sharded(capacity: int, n_devices: int) -> ShardedMapState:
     if capacity % n_devices:
         raise ValueError("capacity must divide evenly across devices")
-    z = jnp.zeros
+    z = jnp.zeros((capacity,), jnp.float32)
     return ShardedMapState(
-        pos=z((capacity, 3), jnp.float32),
-        conf=z((capacity,), jnp.float32),
-        rgb=z((capacity, 3), jnp.float32),
-        sem=z((capacity,), jnp.int32),
-        init_t=z((capacity,), jnp.float32),
-        last_t=z((capacity,), jnp.float32),
-        normal=z((capacity, 3), jnp.float32),
-        radius=z((capacity,), jnp.float32),
-        counts=z((n_devices,), jnp.int32),
+        **{k: z for k in _COLS},
+        counts=jnp.zeros((n_devices,), jnp.int32),
     )
 
 
 def state_sharding(mesh: Mesh) -> ShardedMapState:
-    """PartitionSpec pytree for ShardedMapState."""
+    """NamedSharding pytree for ShardedMapState."""
     vec = NamedSharding(mesh, P(AXIS))
-    return ShardedMapState(
-        pos=vec, conf=vec, rgb=vec, sem=vec, init_t=vec, last_t=vec,
-        normal=vec, radius=vec, counts=vec,
+    return ShardedMapState(**{k: vec for k in _COLS}, counts=vec)
+
+
+def gather_sharded_map(state: ShardedMapState, n_devices: int) -> SurfelMap:
+    """Host-side: concatenate the live prefixes of all shards into one
+    compacted single-chip SurfelMap (for rendering / checkpointing)."""
+    S = state.px.shape[0] // n_devices
+    counts = np.asarray(state.counts)
+    cols = {k: np.asarray(getattr(state, k)) for k in _COLS}
+    parts = {k: [] for k in _COLS}
+    for d in range(n_devices):
+        lo, c = d * S, counts[d]
+        keep = cols["conf"][lo : lo + c] > 0.0
+        for k in _COLS:
+            parts[k].append(cols[k][lo : lo + c][keep])
+    total = sum(p.shape[0] for p in parts["px"])
+    return SurfelMap(
+        **{k: jnp.asarray(np.concatenate(parts[k])) for k in _COLS},
+        count=jnp.int32(total),
     )
 
 
 # ---------------------------------------------------------------------------
 # The sharded step (runs inside shard_map; all shapes are per-device)
 # ---------------------------------------------------------------------------
-
-def _local_compact(arrs: dict[str, jax.Array], count: jax.Array, S: int):
-    keep = (jnp.arange(S, dtype=jnp.int32) < count) & (arrs["conf"] > 0.0)
-    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    new_count = jnp.maximum(dest[-1] + 1, 0).astype(jnp.int32)
-    idx = jnp.where(keep, dest, S)
-    out = {
-        k: jnp.zeros_like(v).at[idx].set(v, mode="drop") for k, v in arrs.items()
-    }
-    return out, new_count
-
 
 def _shard_step_body(
     state: ShardedMapState,
@@ -117,187 +137,105 @@ def _shard_step_body(
     cam: CameraIntrinsics,
     params: PipelineParams,
     n_devices: int,
+    active_blocks: int,
+    block_size: int,
 ):
     p = params
-    H, W = cam.height, cam.width
+    fa = p.index_factor
+    H, W = cam.height * fa, cam.width * fa
     num_pix = H * W
-    S = state.pos.shape[0]  # local slots (shard_map gives per-device view)
-    me = jax.lax.axis_index(AXIS)
-    count = state.counts[0]
+    S = state.px.shape[0]  # local slots (shard_map gives the per-device view)
+    me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+    gid0 = me * S
     T_inv = invert_se3(pose)
 
-    arrs = {
-        "pos": state.pos, "conf": state.conf, "rgb": state.rgb,
-        "sem": state.sem, "init_t": state.init_t, "last_t": state.last_t,
-        "normal": state.normal, "radius": state.radius,
-    }
-    slots = jnp.arange(S, dtype=jnp.int32)
-    gid0 = me.astype(jnp.int32) * S
-
-    # ---- 1. conflict (local) -------------------------------------------
-    pc = transform_points(T_inv, arrs["pos"])
-    z = pc[:, 2]
-    safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    xl, yl = pc[:, 0] / safe_z, pc[:, 1] / safe_z
-    u, v = cam.fx * xl + cam.cx, cam.fy * yl + cam.cy
-    in_view = (
-        (u >= p.stereo_border) & (u <= W) & (v >= 0) & (v <= H)
-        & (z > p.near_clip) & (z < p.far_clip)
+    local = SurfelMap(
+        **{k: getattr(state, k) for k in _COLS}, count=state.counts[0]
     )
-    lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
-    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
-    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
-    d = depth_m[vi, ui]
-    sem_px = semantic[vi, ui]
-    d = jnp.where(sem_px == p.sky_class, p.far_clip + 1.0, d)
-    d = jnp.where(d == 0.0, p.far_clip + 20.0, d)
-    violates = (d * lam - z * lam) > (p.fuse_thresh_factor * z)
-    live = slots < count
-    hit = live & ((gid0 + slots) > 0) & in_view & violates
-    arrs["conf"] = jnp.where(hit, arrs["conf"] - p.conflict_conf_decrement, arrs["conf"])
-    count_before = count
+    live_before = jnp.sum(local.conf > 0.0)
 
-    # ---- 2. local compaction -------------------------------------------
-    arrs, count = _local_compact(arrs, count, S)
-    removed_local = count_before - count
-
-    # ---- 3. distributed index map --------------------------------------
-    pc = transform_points(T_inv, arrs["pos"])
-    z = pc[:, 2]
-    safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    uu = cam.fx * pc[:, 0] / safe_z + cam.cx
-    vv = cam.fy * pc[:, 1] / safe_z + cam.cy
-    pi = jnp.ceil(uu).astype(jnp.int32) - 1
-    pj = jnp.ceil(vv).astype(jnp.int32) - 1
-    inb = (pi >= 0) & (pi < W) & (pj >= 0) & (pj < H)
-    live = slots < count
-    fresh = (time - arrs["last_t"]) <= p.time_delta
-    active = live & fresh & (z > 0.0) & (z < p.far_clip) & inb
-    key = _depth_key(z, active)
-    flat = jnp.where(active, pj * W + pi, num_pix)
-    key_local = jnp.full((num_pix,), INT32_MAX, jnp.int32).at[flat].min(
-        key, mode="drop"
+    # ---- 1. local active-block plan + gather (same ops as single chip) ---
+    blk, n_active = plan_active_blocks(
+        local, T_inv, cam, p, active_blocks, block_size
     )
-    key_global = jax.lax.pmin(key_local, AXIS)
-    # winner gid: min global id among local minimizers
-    win = active & (key == key_global[jnp.clip(flat, 0, num_pix - 1)])
-    gids = gid0 + slots
-    gid_local = jnp.full((num_pix,), INT32_MAX, jnp.int32).at[
-        jnp.where(win, flat, num_pix)
-    ].min(gids, mode="drop")
-    gid_global = jax.lax.pmin(gid_local, AXIS)
-    id_img = jnp.where(gid_global == INT32_MAX, -1, gid_global).reshape(H, W)
+    at = gather_active(local, blk, block_size)
 
-    # ---- 4. attribute images via owner-gather + psum -------------------
-    idf = id_img.reshape(-1)
-    owner = idf // S
-    lidx = jnp.clip(jnp.where(owner == me, idf - gid0, 0), 0, S - 1)
-    mine = (owner == me) & (idf >= 0)
-
-    def contrib(a):
-        g = a[lidx]
-        m = mine.reshape((-1,) + (1,) * (g.ndim - 1))
-        return jnp.where(m, g, 0)
-
-    # camera-frame position & normal of the winning surfel
-    pos_cam_img = jax.lax.psum(contrib(transform_points(T_inv, arrs["pos"])), AXIS)
-    nrm_cam_img = jax.lax.psum(
-        contrib(safe_normalize(rotate_vectors(T_inv, arrs["normal"]))), AXIS
+    # ---- 2. conflict (purely local; global id>0 exemption via offset) ----
+    at, removed_local = conflict_active(
+        at, depth_m, semantic, T_inv, cam, p,
+        min_depth=p.near_clip, max_depth=p.far_clip,
+        fuse_thresh=p.fuse_thresh_factor, is_clean=False,
+        gid_offset=gid0,
     )
-    conf_img = jax.lax.psum(contrib(arrs["conf"]), AXIS)
-    rgb_img_o = jax.lax.psum(contrib(arrs["rgb"]), AXIS)
-    sem_img_o = jax.lax.psum(contrib(arrs["sem"]), AXIS)
-    init_img = jax.lax.psum(contrib(arrs["init_t"]), AXIS)
-    rad_img = jax.lax.psum(contrib(arrs["radius"]), AXIS)
+    local = writeback_active(local, at, block_size)
 
-    # ---- 5. association (replicated compute) ---------------------------
-    # Reuse the single-chip associate() by feeding it a pixel-indexed
-    # pseudo-map built from the psum-combined attribute images.  Row 0 of the
-    # pseudo arrays is a sentinel so pixel k maps to pseudo id k+1, keeping
-    # the reference's ``id > 0`` validity convention intact for every pixel.
-    def with_sentinel(img):
-        flatimg = img.reshape((num_pix,) + img.shape[1:])
-        return jnp.concatenate(
-            [jnp.zeros((1,) + flatimg.shape[1:], flatimg.dtype), flatimg], axis=0
-        )
+    # ---- 3. distributed index map (collectives #1 and #2) ----------------
+    zkey, fpix = index_candidates(at, T_inv, time, cam, p, gid_offset=gid0)
+    zbuf_local = jnp.full((num_pix,), INT32_MAX, jnp.int32).at[fpix].min(
+        zkey, mode="drop"
+    )
+    zbuf = jax.lax.pmin(zbuf_local, AXIS)
+    global_ids = at.global_id + gid0
+    id_raw = index_resolve(
+        zkey, fpix, global_ids, num_pix, depth_buf=zbuf, empty_to_minus1=False
+    )
+    id_flat = jax.lax.pmin(id_raw, AXIS)
+    id_flat = jnp.where(id_flat == INT32_MAX, -1, id_flat)
 
-    pseudo = SurfelMap(
-        pos=with_sentinel(transform_points(pose, pos_cam_img)),
-        conf=with_sentinel(conf_img),
-        rgb=with_sentinel(rgb_img_o),
-        sem=with_sentinel(sem_img_o),
-        init_t=with_sentinel(init_img),
-        last_t=with_sentinel(jnp.zeros_like(conf_img)),
-        normal=with_sentinel(safe_normalize(rotate_vectors(pose, nrm_cam_img))),
-        radius=with_sentinel(rad_img),
-        count=jnp.int32(num_pix + 1),
+    # ---- 4. association against the LOCAL slot range ---------------------
+    mine = (id_flat >= gid0) & (id_flat < gid0 + S)
+    local_idx_img = jnp.where(mine, id_flat - gid0, -1).reshape(H, W)
+    pseudo = table_from_map(local)
+    assoc = associate_active(
+        depth_m, rgb, semantic, local_idx_img, pseudo, pose, T_inv, time, cam, p
     )
-    pix1 = jnp.arange(1, num_pix + 1, dtype=jnp.int32).reshape(H, W)
-    pixel_ids = jnp.where(id_img > 0, pix1, -1)
-    assoc = associate(
-        depth_m, rgb, semantic, pixel_ids, pseudo, pose, T_inv, time, cam, params
+
+    # ---- 5. global matched resolution (collective #3) --------------------
+    matched_mine = assoc.mark >= 0
+    matched_any = jax.lax.pmax(matched_mine.astype(jnp.int32), AXIS) > 0
+    # pixels valid here but matched on ANOTHER device must not append
+    mark = jnp.where(
+        matched_mine,
+        assoc.mark,
+        jnp.where((assoc.mark == -1) & matched_any, -10, assoc.mark),
     )
-    # rewrite marks from pixel space back to global surfel ids (FACTOR==1:
-    # a pixel's match can only be its own co-located index-map texel)
-    assert params.index_factor == 1, "sharded path supports index_factor=1"
-    mark = jnp.where(assoc.mark >= 0, id_img, assoc.mark)
     assoc = dataclasses.replace(assoc, mark=mark)
 
-    # ---- 6. fuse scatter (local subset) --------------------------------
-    mflat = assoc.mark.reshape(-1)
-    fuse_mine = (mflat >= 0) & (mflat // S == me)
-    fidx = jnp.where(fuse_mine, mflat - gid0, S)
+    # ---- 6. local fuse + round-robin append ------------------------------
+    local = map_from_table(fuse_active(pseudo, assoc), local.count)
+    local, dropped_local = append_round_robin(local, assoc, n_devices, me)
 
-    def flat2(a):
-        return a.reshape((-1,) + a.shape[2:])
-
-    arrs["pos"] = arrs["pos"].at[fidx].set(flat2(assoc.pos), mode="drop")
-    arrs["conf"] = arrs["conf"].at[fidx].set(flat2(assoc.conf), mode="drop")
-    arrs["rgb"] = arrs["rgb"].at[fidx].set(flat2(assoc.rgb), mode="drop")
-    arrs["sem"] = arrs["sem"].at[fidx].set(flat2(assoc.sem), mode="drop")
-    arrs["init_t"] = arrs["init_t"].at[fidx].set(flat2(assoc.init_t), mode="drop")
-    arrs["last_t"] = arrs["last_t"].at[fidx].set(flat2(assoc.last_t), mode="drop")
-    arrs["normal"] = arrs["normal"].at[fidx].set(flat2(assoc.normal), mode="drop")
-    arrs["radius"] = arrs["radius"].at[fidx].set(flat2(assoc.radius), mode="drop")
-
-    # ---- 7. round-robin append -----------------------------------------
-    is_new = _column_major_flat(assoc.mark) == -1
-    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    n_new = jnp.maximum(rank[-1] + 1, 0)
-    to_me = is_new & (rank % n_devices == me)
-    dest = count + jnp.where(to_me, rank // n_devices, S)
-    ok = to_me & (dest < S)
-    aidx = jnp.where(ok, dest, S)
-
-    def app(key):
-        src = _column_major_flat(getattr(assoc, key))
-        return arrs[key].at[aidx].set(src, mode="drop")
-
-    n_new_me = jnp.sum(to_me.astype(jnp.int32))
-    appended = jnp.minimum(n_new_me, jnp.maximum(S - count, 0))
-    dropped = jax.lax.psum(n_new_me - appended, AXIS)
-    for k in arrs:
-        arrs[k] = app(k)
-    count = count + appended
-
-    new_state = ShardedMapState(counts=count[None], **arrs)
+    live_after = jnp.sum(local.conf > 0.0)
+    new_state = ShardedMapState(
+        **{k: getattr(local, k) for k in _COLS}, counts=local.count[None]
+    )
     stats = {
-        "count": jax.lax.psum(count, AXIS),
+        "count": jax.lax.psum(live_after, AXIS),
         "removed": jax.lax.psum(removed_local, AXIS),
-        "new": n_new,
-        "merged": jnp.sum(assoc.mark >= 0),
-        "dropped": dropped,
+        "new": jnp.sum(mark == -1),  # replicated after matched resolution
+        "merged": jax.lax.psum(jnp.sum(matched_mine), AXIS),
+        "dropped": jax.lax.psum(dropped_local, AXIS),
+        "active_blocks": jax.lax.pmax(n_active, AXIS),
     }
     return new_state, stats
 
 
 def make_sharded_step(
-    mesh: Mesh, cam: CameraIntrinsics, params: PipelineParams, n_devices: int
+    mesh: Mesh,
+    cam: CameraIntrinsics,
+    params: PipelineParams,
+    n_devices: int,
+    active_blocks: int = 64,
+    block_size: int = 2048,
 ):
-    """Build the jitted sharded fusion step.
+    """Build the jitted block-sharded fusion step.
 
     Signature: (state, depth_raw u16[H,W], rgb f32[H,W,3], semantic i32[H,W],
     pose, last_depth, last_pose, time) -> (state, last_depth', stats).
+
+    ``active_blocks``/``block_size`` bound each device's LOCAL working set
+    (same semantics as MapConfig; per-device capacity must divide by
+    block_size).
     """
     try:
         from jax import shard_map  # jax >= 0.6 public API
@@ -309,7 +247,12 @@ def make_sharded_step(
     rep = P()
 
     body = functools.partial(
-        _shard_step_body, cam=cam, params=params, n_devices=n_devices
+        _shard_step_body,
+        cam=cam,
+        params=params,
+        n_devices=n_devices,
+        active_blocks=active_blocks,
+        block_size=block_size,
     )
     sharded = shard_map(
         body,
@@ -344,10 +287,11 @@ def dryrun(n_devices: int) -> None:
     cam = tiny_cam(128, 64)
     params = PipelineParams()
     cap = 1 << 14
-    state = jax.device_put(
-        empty_sharded(cap, n_devices), state_sharding(mesh)
+    block = (cap // n_devices) // 2 or 1
+    state = jax.device_put(empty_sharded(cap, n_devices), state_sharding(mesh))
+    step = make_sharded_step(
+        mesh, cam, params, n_devices, active_blocks=4, block_size=block
     )
-    step = make_sharded_step(mesh, cam, params, n_devices)
 
     scene = SyntheticScene(cam)
     last_depth = jnp.zeros((cam.height, cam.width), jnp.float32)

@@ -37,16 +37,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import CameraIntrinsics, MapConfig, PipelineParams
-from .ops.association import associate
-from .ops.frame_surfels import feedback_surfels
-from .ops.fusion import (
-    append_new,
-    compact,
-    conflict_pass,
-    fuse_scatter,
-    initialize_map,
+from .ops.active import (
+    append_flat,
+    associate_active,
+    conflict_active,
+    fuse_active,
+    gather_active,
+    index_active,
+    plan_active_blocks,
+    writeback_active,
 )
-from .ops.index_map import build_index_map
+from .ops.frame_surfels import feedback_surfels
+from .ops.fusion import compact, conflict_pass, initialize_map
 from .ops.preprocess import metricize_depth, preprocess_frame, remove_movings
 from .ops.transforms import compose, invert_se3
 from .surfels import SurfelMap, empty_map, load_map, resize_map, save_map
@@ -91,7 +93,7 @@ def _init_step(
     return smap, filtered, dropped
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "params"))
+@functools.partial(jax.jit, static_argnames=("cam", "params", "active_blocks", "block_size"))
 def _fusion_step(
     smap: SurfelMap,
     depth_raw: jax.Array,
@@ -103,18 +105,30 @@ def _fusion_step(
     time: jax.Array,
     cam: CameraIntrinsics,
     params: PipelineParams,
+    active_blocks: int,
+    block_size: int,
 ):
-    """The incremental fusion step (tick > 0)."""
+    """The incremental fusion step (tick > 0), active-block engine.
+
+    Reference stage order preserved (src/SurfelMapping.cpp:171-242):
+    preprocess -> movings -> conflict(+deferred removal) -> index map ->
+    associate -> fuse -> append.  All indexed memory traffic runs on the
+    gathered in-frustum active table (ops/active.py), so the frame costs
+    O(in-view surfels) instead of round 1's O(capacity); removal is
+    tombstoned (conf <= 0) and reclaimed by the host's deferred compaction.
+    """
     filtered = preprocess_frame(depth_raw, semantic, cam, params)
     T_c2l = compose(invert_se3(last_pose), pose)
     depth_m = remove_movings(filtered, semantic, last_depth, T_c2l, cam, params)
     T_inv = invert_se3(pose)
 
-    count_before = smap.count
+    blk, n_active = plan_active_blocks(
+        smap, T_inv, cam, params, active_blocks, block_size
+    )
+    at = gather_active(smap, blk, block_size)
 
-    # conflict -> confidence decrement -> compaction
-    new_conf = conflict_pass(
-        smap,
+    at, removed = conflict_active(
+        at,
         depth_m,
         semantic,
         T_inv,
@@ -125,24 +139,21 @@ def _fusion_step(
         fuse_thresh=params.fuse_thresh_factor,
         is_clean=False,
     )
-    smap = dataclasses.replace(smap, conf=new_conf)
-    smap = compact(smap)
-    count_after_conflict = smap.count
 
-    # projective association against the compacted model
-    idx_img = build_index_map(smap, T_inv, time, cam, params)
-    assoc = associate(
-        depth_m, rgb, semantic, idx_img, smap, pose, T_inv, time, cam, params
+    idx_img = index_active(at, T_inv, time, cam, params)
+    assoc = associate_active(
+        depth_m, rgb, semantic, idx_img, at, pose, T_inv, time, cam, params
     )
-
-    smap = fuse_scatter(smap, assoc)
-    smap, dropped = append_new(smap, assoc)
+    at = fuse_active(at, assoc)
+    smap = writeback_active(smap, at, block_size)
+    smap, dropped = append_flat(smap, assoc)
 
     stats = {
-        "removed": count_before - count_after_conflict,
+        "removed": removed,
         "merged": jnp.sum(assoc.mark >= 0),
         "new": jnp.sum(assoc.mark == -1),
-        "count": smap.count,
+        "count": jnp.sum(smap.conf > 0.0),  # live (tombstones excluded)
+        "active_blocks": n_active,
     }
     return smap, filtered, dropped, stats
 
@@ -194,13 +205,22 @@ class SurfelMapper:
         self.cam = cam
         self.params = params or PipelineParams()
         self.map_config = map_config or MapConfig()
+        if cam.height % 2 or cam.width % 2:
+            raise ValueError(
+                "active-block engine needs even image dims (checkerboard "
+                f"slicing); got {cam.width}x{cam.height} — pad the frames"
+            )
         self.stopwatch = Stopwatch()
+        # requested active-block budget; effective value is min(this, #blocks)
+        self.active_blocks = self.map_config.active_blocks
         # Host<->device sync discipline: the reference reads back a count after
         # every stage (glGetQueryObjectuiv + glFinish); we only sync every
         # ``sync_every`` frames and pre-grow the buffer by the worst-case
         # ingest (H*W/2 per frame) for the frames in between, so the XLA
         # stream never stalls on the host.
-        self.sync_every = max(1, sync_every)
+        # clamp: the buffer pre-grows by sync_every * H*W/2 worst-case slots,
+        # so an unbounded value would balloon capacity
+        self.sync_every = max(1, min(sync_every, 128))
         self.reset_all()
 
     # -- state management ---------------------------------------------------
@@ -208,32 +228,70 @@ class SurfelMapper:
     def reset_all(self) -> None:
         """Fresh engine: empty map, no reference frame."""
         H, W = self.cam.height, self.cam.width
-        self.smap = empty_map(self.map_config.capacity)
+        self._smap = empty_map(self.map_config.rounded_capacity(self.map_config.capacity))
         self.last_depth = jnp.zeros((H, W), jnp.float32)
         self.last_pose = jnp.eye(4, dtype=jnp.float32)
         self.tick = 0
         self.ref_frame_set = False
         self.history_poses: list[np.ndarray] = []
         self.last_stats: dict[str, Any] = {}
-        self._cached_count = 0
+        self._cached_count = 0   # live surfels (tombstones excluded)
+        self._cached_tail = 0    # allocation cursor (smap.count)
         self._since_sync = 0
         self._pending_dropped = []
+        self._pending_active = []
+
+    @property
+    def _effective_active_blocks(self) -> int:
+        return min(self.active_blocks, self._smap.capacity // self.map_config.block_size)
 
     def reset(self) -> None:
         """Map reset (src/SurfelMapping.cpp:436-441): clears the model and
         tick but keeps the reference frame, so the next frame takes the
         tick==0 initialize path."""
-        self.smap = empty_map(self.smap.capacity)
+        self._smap = empty_map(self._smap.capacity)
         self.tick = 0
         self.history_poses = []
+        self._cached_count = 0
+        self._cached_tail = 0
+        self._pending_dropped = []
+        self._pending_active = []
+        self._since_sync = 0
+
+    @property
+    def smap(self) -> SurfelMap:
+        """The surfel map, compacted for external consumption.
+
+        The internal map (``self._smap``) defers removal: conflict kills are
+        tombstones (conf <= 0) reclaimed lazily (ops/active.py).  Reading
+        this property drains pending device flags and compacts, so external
+        consumers always see exactly what the reference's per-frame
+        back-mapping would have produced (same surfels, same order)."""
+        self._refresh_counts()
+        if self._cached_tail != self._cached_count:
+            self._compact_now()
+        return self._smap
+
+    @smap.setter
+    def smap(self, value: SurfelMap) -> None:
+        self._smap = value
 
     @property
     def count(self) -> int:
+        """Live surfel count (a host sync point)."""
         self._refresh_counts()
         return self._cached_count
 
+    def _compact_now(self) -> None:
+        self._smap = compact(self._smap)
+        self._cached_tail = int(self._smap.count)
+        assert self._cached_tail == self._cached_count, (
+            "compaction changed the live count — tombstone accounting bug"
+        )
+
     def _refresh_counts(self) -> None:
-        """Periodic host sync: drain pending overflow flags + cache count."""
+        """Periodic host sync: drain pending overflow flags, cache counts,
+        apply the deferred-compaction policy and active-budget growth."""
         if self._pending_dropped:
             total = sum(int(d) for d in self._pending_dropped)
             self._pending_dropped = []
@@ -242,33 +300,103 @@ class SurfelMapper:
                     f"surfel buffer overflow dropped {total} surfels — "
                     "pre-growth margin violated (bug)"
                 )
-        self._cached_count = int(self.smap.count)
+        if self._pending_active:
+            peak = max(int(d) for d in self._pending_active)
+            self._pending_active = []
+            eff = self._effective_active_blocks
+            cfg_ = self.map_config
+            if peak > eff:
+                # Frames since the last sync ran with a too-small active set:
+                # some in-view blocks escaped conflict/association.  Grow the
+                # budget so it cannot recur, and surface the event.
+                import warnings
+
+                while self.active_blocks < peak:
+                    self.active_blocks *= 2
+                warnings.warn(
+                    f"active-block budget overflowed ({peak} > {eff}); grown "
+                    f"to {self.active_blocks} — frames since the last sync "
+                    "used a truncated working set",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            elif peak > cfg_.active_watermark * eff:
+                self.active_blocks = max(self.active_blocks, eff * 2)
+            elif peak * 4 < eff and eff > cfg_.active_blocks:
+                # shrink back toward the configured floor when the frustum
+                # working set drops (each bucket is its own jit entry)
+                self.active_blocks = max(cfg_.active_blocks, eff // 2)
+        self._cached_tail = int(self._smap.count)
+        self._cached_count = int(jnp.sum(self._smap.conf > 0.0))
         self._since_sync = 0
+        cfg = self.map_config
+        dead = self._cached_tail - self._cached_count
+        if dead > cfg.compact_dead_frac * self._smap.capacity:
+            self._compact_now()
 
     def _maybe_grow_cached(self, need: int) -> None:
         cfg = self.map_config
-        cap = self.smap.capacity
+        cap = self._smap.capacity
         if need <= cap * cfg.watermark:
             return
+        # reclaim tombstones before buying memory
+        self._refresh_counts()
+        if self._cached_tail > self._cached_count:
+            dead = self._cached_tail - self._cached_count
+            self._compact_now()
+            need = max(self._cached_tail, need - dead)
         new_cap = cap
         while need > new_cap * cfg.watermark:
             new_cap = int(new_cap * cfg.growth_factor)
-        self.smap = resize_map(self.smap, new_cap)
+        new_cap = cfg.rounded_capacity(new_cap)
+        if new_cap > cap:
+            self._smap = resize_map(self._smap, new_cap)
 
     def _maybe_grow(self, needed_extra: int = 0) -> None:
-        self._maybe_grow_cached(int(self.smap.count) + needed_extra)
+        self._maybe_grow_cached(int(self._smap.count) + needed_extra)
 
     # -- frame ingestion ----------------------------------------------------
 
     def _to_device(self, rgb, depth, semantic, pose):
-        rgb_np = np.asarray(rgb)
-        rgb = jnp.asarray(rgb_np, jnp.float32)
-        if np.issubdtype(rgb_np.dtype, np.integer):
-            rgb = rgb / 255.0
-        depth = jnp.asarray(np.asarray(depth).astype(np.uint16))
-        semantic = jnp.asarray(np.asarray(semantic).astype(np.int32))
+        """Stage a frame on device.
+
+        Uploads the NARROW dtypes (u8 rgb/semantic, u16 depth) and widens on
+        device — host->device bandwidth is the scarce resource (the reference
+        pays the same discipline with its u8/u16 texture uploads,
+        src/SurfelMapping.cpp:122-128).  Already-staged jax arrays pass
+        through untouched so callers can pre-stage (e.g. the prefetcher)."""
+        if isinstance(rgb, jax.Array):
+            rgb_dev = rgb
+        else:
+            rgb_np = np.asarray(rgb)
+            if rgb_np.dtype != np.uint8 and np.issubdtype(rgb_np.dtype, np.integer):
+                rgb_np = rgb_np.astype(np.uint8)
+            rgb_dev = jnp.asarray(rgb_np)
+        if jnp.issubdtype(rgb_dev.dtype, jnp.integer):
+            rgb_dev = rgb_dev.astype(jnp.float32) / 255.0
+        elif rgb_dev.dtype != jnp.float32:
+            rgb_dev = rgb_dev.astype(jnp.float32)
+
+        if isinstance(depth, jax.Array):
+            depth_dev = depth
+        else:
+            depth_dev = jnp.asarray(np.asarray(depth).astype(np.uint16))
+
+        if isinstance(semantic, jax.Array):
+            sem_dev = semantic.astype(jnp.int32)
+        else:
+            sem_np = np.asarray(semantic)
+            if sem_np.dtype not in (np.uint8, np.int8):
+                if sem_np.max(initial=0) < 256 and sem_np.min(initial=0) >= 0:
+                    sem_np = sem_np.astype(np.uint8)
+            sem_dev = jnp.asarray(sem_np).astype(jnp.int32)
+
         pose = jnp.asarray(np.asarray(pose), jnp.float32)
-        return rgb, depth, semantic, pose
+        return rgb_dev, depth_dev, sem_dev, pose
+
+    def stage_frame(self, rgb, depth, semantic, pose):
+        """Pre-stage a frame's arrays on device (for prefetch pipelines)."""
+        return self._to_device(rgb, depth, semantic, pose)
 
     def process_frame(self, rgb, depth, semantic, pose) -> dict[str, Any]:
         """Ingest one frame (reference processFrame,
@@ -295,29 +423,31 @@ class SurfelMapper:
             with sw.time("Initialize"):
                 while True:
                     smap, filtered, dropped = _init_step(
-                        self.smap, depth, rgb, semantic, pose,
+                        self._smap, depth, rgb, semantic, pose,
                         self.last_depth, self.last_pose, time,
                         self.cam, self.params,
                     )
                     if int(dropped) == 0:
                         break
                     self._maybe_grow(int(dropped))
-            self.smap = smap
+            self._smap = smap
             self._refresh_counts()
             stats = {"count": self._cached_count, "initialized": True}
         else:
             # pre-grow so overflow is impossible until the next periodic sync
             max_new = (self.cam.height * self.cam.width) // 2 + 1
             frames_ahead = self.sync_every - self._since_sync + 1
-            self._maybe_grow_cached(self._cached_count + frames_ahead * max_new)
+            self._maybe_grow_cached(self._cached_tail + frames_ahead * max_new)
             with sw.time("Run"):
                 smap, filtered, dropped, stats_dev = _fusion_step(
-                    self.smap, depth, rgb, semantic, pose,
+                    self._smap, depth, rgb, semantic, pose,
                     self.last_depth, self.last_pose, time,
                     self.cam, self.params,
+                    self._effective_active_blocks, self.map_config.block_size,
                 )
-            self.smap = smap
+            self._smap = smap
             self._pending_dropped.append(dropped)
+            self._pending_active.append(stats_dev.pop("active_blocks"))
             self._since_sync += 1
             if self._since_sync >= self.sync_every:
                 self._refresh_counts()
@@ -336,21 +466,27 @@ class SurfelMapper:
             np.zeros((1, 1, 3)), depth, semantic, pose
         )
         with self.stopwatch.time("Clean Points"):
-            self.smap = _clean_step(
-                self.smap, depth, semantic, pose, self.cam, self.params
+            self._smap = _clean_step(
+                self._smap, depth, semantic, pose, self.cam, self.params
             )
+        # _clean_step compacts, so tail == live afterwards
+        self._pending_dropped = []
+        self._pending_active = []
+        self._cached_tail = self._cached_count = int(self._smap.count)
+        self._since_sync = 0
 
     # -- persistence --------------------------------------------------------
 
     def save_map(self, path: str, start_id: int = 0, end_id: int = 0) -> None:
-        save_map(self.smap, path, start_id, end_id)
+        save_map(self.smap, path, start_id, end_id)  # property compacts
 
     def load_map(self, path: str) -> tuple[int, int]:
         smap, start_id, end_id = load_map(path)
         cap = self.map_config.capacity
         while smap.capacity > cap * self.map_config.watermark:
             cap = int(cap * self.map_config.growth_factor)
-        self.smap = resize_map(smap, cap)
+        self._smap = resize_map(smap, self.map_config.rounded_capacity(cap))
+        self._refresh_counts()
         self.tick = end_id + 1
         self.ref_frame_set = True
         return start_id, end_id

@@ -1,15 +1,28 @@
-"""The HBM-resident surfel map: a fixed-capacity struct-of-arrays pytree.
+"""The HBM-resident surfel map: a fixed-capacity, fully-planar SoA pytree.
 
 TPU-native replacement for the reference's interleaved 48-byte-per-surfel
 GL vertex buffer + triple "model map" texture mirror (src/GlobalModel.cpp:27-63,
 src/Config.cpp:16-31).  On TPU the scatter/gather passes address the surfel
 arrays directly, so the VBO/texture duality disappears: there is exactly one
-copy of the map, laid out as separate arrays per attribute (best layout for
-the VPU's (8,128) tiles and for XLA scatter/gather).
+copy of the map, laid out as SEPARATE 1D arrays per scalar attribute.
+
+The planar layout is load-bearing on TPU, not a style choice:
+  * XLA tiles the last two dims of every array to (8 sublanes, 128 lanes);
+    an f32[N,3] position array pads 3 -> 128 lanes = 42.7x the memory (a 25M
+    surfel map would need >12 GB for positions alone) and 42.7x the HBM
+    traffic of every pass that touches it;
+  * gathers/scatters on 1D arrays hit XLA's fast per-element path (~5-10 ns/
+    element measured); the same op on a 2D row layout costs ~100 ns/row
+    regardless of width.
+Color and semantics live bit-packed in ONE float (``colorsem``, color.glsl's
+sem<<24|r<<16|g<<8|b layout) — the association/fuse crossings move 1 value
+instead of 4, and the checkpoint writes the column verbatim.
 
 Capacity is static under jit; the live prefix length is the traced scalar
 ``count`` (the "transform feedback written-count" of the reference,
-src/GlobalModel.cpp:319-325, without the device->host readback).
+src/GlobalModel.cpp:319-325, without the device->host readback).  Slots in
+the prefix with conf <= 0 are tombstones awaiting deferred compaction
+(ops/active.py); every consumer gates on conf > 0.
 
 The checkpoint format is byte-compatible with the reference's
 ``downloadMap``/``uploadMap``: [u32 count][i32 start_id][i32 end_id]
@@ -32,51 +45,77 @@ from .ops.colors import decode_color, encode_color
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SurfelMap:
-    """Struct-of-arrays surfel storage.
+    """Planar struct-of-arrays surfel storage (capacity N, live prefix
+    ``count``; all attribute leaves are f32[N] except noted).
 
-    Attributes (capacity N slots, live prefix ``count``):
-      pos:     f32[N,3] world position
-      conf:    f32[N]   confidence (vec4#0.w of the reference record)
-      rgb:     f32[N,3] color in [0,1] (8-bit lattice, see ops/colors.py)
-      sem:     i32[N]   semantic class id
-      init_t:  f32[N]   first-seen tick (vec4#1.z)
-      last_t:  f32[N]   last-fused tick (vec4#1.w)
-      normal:  f32[N,3] world unit normal
-      radius:  f32[N]   surfel disc radius (m)
-      count:   i32[]    number of live surfels in the prefix [0, count)
+      px, py, pz: world position
+      conf:       confidence (vec4#0.w of the reference record)
+      colorsem:   packed (sem<<24 | r<<16 | g<<8 | b) bits in an f32
+      init_t:     first-seen tick (vec4#1.z)
+      last_t:     last-fused tick (vec4#1.w)
+      nx, ny, nz: world unit normal
+      radius:     surfel disc radius (m)
+      count:      i32[] live-prefix length
     """
 
-    pos: jax.Array
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
     conf: jax.Array
-    rgb: jax.Array
-    sem: jax.Array
+    colorsem: jax.Array
     init_t: jax.Array
     last_t: jax.Array
-    normal: jax.Array
+    nx: jax.Array
+    ny: jax.Array
+    nz: jax.Array
     radius: jax.Array
     count: jax.Array
 
     @property
     def capacity(self) -> int:
-        return self.pos.shape[0]
+        return self.px.shape[0]
 
     def live_mask(self) -> jax.Array:
         """Boolean mask over slots: True for the live prefix."""
         return jnp.arange(self.capacity, dtype=jnp.int32) < self.count
 
+    # -- stacked views (cold paths only: each materializes an (N,3) temp
+    #    that XLA pads 42.7x — never put these inside per-frame loops) ------
+
+    def pos(self) -> jax.Array:
+        return jnp.stack([self.px, self.py, self.pz], axis=-1)
+
+    def normal(self) -> jax.Array:
+        return jnp.stack([self.nx, self.ny, self.nz], axis=-1)
+
+    def rgb(self) -> jax.Array:
+        return decode_color(self.colorsem)[0]
+
+    def sem(self) -> jax.Array:
+        return decode_color(self.colorsem)[1].astype(jnp.int32)
+
+
+def map_from_stacked(
+    pos, conf, rgb, sem, init_t, last_t, normal, radius, count
+) -> SurfelMap:
+    """Build a planar map from stacked (N,3) pos/rgb/normal arrays."""
+    return SurfelMap(
+        px=pos[:, 0], py=pos[:, 1], pz=pos[:, 2],
+        conf=conf,
+        colorsem=encode_color(rgb, jnp.asarray(sem).astype(jnp.uint32)),
+        init_t=init_t, last_t=last_t,
+        nx=normal[:, 0], ny=normal[:, 1], nz=normal[:, 2],
+        radius=radius,
+        count=jnp.asarray(count, jnp.int32),
+    )
+
 
 def empty_map(capacity: int) -> SurfelMap:
     """Allocate an all-zero map with the given slot capacity."""
-    f = jnp.zeros
+    z = jnp.zeros((capacity,), jnp.float32)
     return SurfelMap(
-        pos=f((capacity, 3), jnp.float32),
-        conf=f((capacity,), jnp.float32),
-        rgb=f((capacity, 3), jnp.float32),
-        sem=f((capacity,), jnp.int32),
-        init_t=f((capacity,), jnp.float32),
-        last_t=f((capacity,), jnp.float32),
-        normal=f((capacity, 3), jnp.float32),
-        radius=f((capacity,), jnp.float32),
+        px=z, py=z, pz=z, conf=z, colorsem=z, init_t=z, last_t=z,
+        nx=z, ny=z, nz=z, radius=z,
         count=jnp.zeros((), jnp.int32),
     )
 
@@ -86,21 +125,17 @@ def resize_map(m: SurfelMap, new_capacity: int) -> SurfelMap:
     growth for the jit cache (see config.MapConfig)."""
     if new_capacity < int(m.count):
         raise ValueError("cannot shrink below live count")
-    out = empty_map(new_capacity)
     n = min(m.capacity, new_capacity)
 
-    def cp(dst, src):
-        return dst.at[:n].set(src[:n])
+    def cp(src):
+        return jnp.zeros((new_capacity,), src.dtype).at[:n].set(src[:n])
 
     return SurfelMap(
-        pos=cp(out.pos, m.pos),
-        conf=cp(out.conf, m.conf),
-        rgb=cp(out.rgb, m.rgb),
-        sem=cp(out.sem, m.sem),
-        init_t=cp(out.init_t, m.init_t),
-        last_t=cp(out.last_t, m.last_t),
-        normal=cp(out.normal, m.normal),
-        radius=cp(out.radius, m.radius),
+        px=cp(m.px), py=cp(m.py), pz=cp(m.pz),
+        conf=cp(m.conf), colorsem=cp(m.colorsem),
+        init_t=cp(m.init_t), last_t=cp(m.last_t),
+        nx=cp(m.nx), ny=cp(m.ny), nz=cp(m.nz),
+        radius=cp(m.radius),
         count=m.count,
     )
 
@@ -119,17 +154,12 @@ def pack_records(m: SurfelMap) -> jax.Array:
     Returns f32[capacity, 12]; rows >= count are zero.
     """
     live = m.live_mask().astype(jnp.float32)
-    packed_color = encode_color(m.rgb, m.sem.astype(jnp.uint32))
-    rec = jnp.concatenate(
+    zero = jnp.zeros_like(m.px)
+    rec = jnp.stack(
         [
-            m.pos,
-            m.conf[:, None],
-            packed_color[:, None],
-            jnp.zeros((m.capacity, 1), jnp.float32),
-            m.init_t[:, None],
-            m.last_t[:, None],
-            m.normal,
-            m.radius[:, None],
+            m.px, m.py, m.pz, m.conf,
+            m.colorsem, zero, m.init_t, m.last_t,
+            m.nx, m.ny, m.nz, m.radius,
         ],
         axis=1,
     )
@@ -137,16 +167,13 @@ def pack_records(m: SurfelMap) -> jax.Array:
 
 
 def unpack_records(rec: jax.Array, count: jax.Array | int) -> SurfelMap:
-    """Inverse of :func:`pack_records` (ref record layout -> SoA map)."""
-    rgb, sem = decode_color(rec[:, 4])
+    """Inverse of :func:`pack_records` (ref record layout -> planar map)."""
     return SurfelMap(
-        pos=rec[:, 0:3],
+        px=rec[:, 0], py=rec[:, 1], pz=rec[:, 2],
         conf=rec[:, 3],
-        rgb=rgb,
-        sem=sem.astype(jnp.int32),
-        init_t=rec[:, 6],
-        last_t=rec[:, 7],
-        normal=rec[:, 8:11],
+        colorsem=rec[:, 4],
+        init_t=rec[:, 6], last_t=rec[:, 7],
+        nx=rec[:, 8], ny=rec[:, 9], nz=rec[:, 10],
         radius=rec[:, 11],
         count=jnp.asarray(count, jnp.int32),
     )
@@ -155,9 +182,15 @@ def unpack_records(rec: jax.Array, count: jax.Array | int) -> SurfelMap:
 def save_map(m: SurfelMap, path: str, start_id: int, end_id: int) -> None:
     """Write the reference's binary map format
     [u32 count][i32 start][i32 end][count*12 f32]
-    (src/GlobalModel.cpp:901-953); little-endian, same as x86 host writes."""
+    (src/GlobalModel.cpp:901-953); little-endian, same as x86 host writes.
+
+    Tombstoned rows (conf <= 0, deferred removal — see ops/active.py) are
+    filtered out host-side: the reference's downloadMap only ever contains
+    live surfels because it compacted every frame, and relative order is
+    preserved either way."""
     count = int(m.count)
     rec = np.asarray(jax.device_get(pack_records(m)))[:count]
+    rec = rec[rec[:, 3] > 0.0]
     with open(path, "wb") as f:
         _write_map_stream(f, rec, start_id, end_id)
 

@@ -19,11 +19,11 @@ def sample_surfels(smap: SurfelMap, ids=None, n: int = 5, seed: int = 0) -> str:
     if ids is None:
         rng = np.random.default_rng(seed)
         ids = rng.integers(0, count, size=min(n, count))
-    pos = np.asarray(smap.pos)
+    pos = np.asarray(smap.pos())
     conf = np.asarray(smap.conf)
-    rgb = np.asarray(smap.rgb)
-    sem = np.asarray(smap.sem)
-    nrm = np.asarray(smap.normal)
+    rgb = np.asarray(smap.rgb())
+    sem = np.asarray(smap.sem())
+    nrm = np.asarray(smap.normal())
     rad = np.asarray(smap.radius)
     it = np.asarray(smap.init_t)
     lt = np.asarray(smap.last_t)
@@ -56,7 +56,7 @@ def check_map_invariants(smap: SurfelMap) -> list[str]:
         )
     if (conf[count:] != 0).any():
         problems.append("non-zero confidence beyond live prefix")
-    nrm = np.asarray(smap.normal)[:count]
+    nrm = np.asarray(smap.normal())[:count]
     if count:
         norms = np.linalg.norm(nrm, axis=-1)
         bad = np.abs(norms - 1.0) > 1e-3
@@ -65,7 +65,7 @@ def check_map_invariants(smap: SurfelMap) -> list[str]:
         rad = np.asarray(smap.radius)[:count]
         if (rad <= 0).any():
             problems.append(f"{(rad <= 0).sum()} live surfels with radius <= 0")
-        if not np.isfinite(np.asarray(smap.pos)[:count]).all():
+        if not np.isfinite(np.asarray(smap.pos())[:count]).all():
             problems.append("non-finite surfel positions")
     return problems
 

@@ -58,7 +58,7 @@ def render_map_view(
         )
         img[np.asarray(out["semantic"]) == 0] = 0
     elif mode == "normal":
-        n = np.asarray(smap.normal)[safe]
+        n = np.asarray(smap.normal())[safe]
         img = (n * 0.5 + 0.5) * 255.0
     elif mode == "confidence":
         c = np.asarray(smap.conf)[safe]

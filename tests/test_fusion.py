@@ -74,8 +74,9 @@ def test_surfels_within_world_bounds():
         rgb, d, s, T = scene.frame(i)
         m.process_frame(rgb, d, s, T)
     n = m.count
-    pos = np.asarray(m.smap.pos)[:n]
-    sem = np.asarray(m.smap.sem)[:n]
+    smap = m.smap
+    pos = np.asarray(smap.pos())[:n]
+    sem = np.asarray(smap.sem())[:n]
     ground = sem == 0
     if ground.any():
         # ground plane at y = 1.6 (+/- smoothing tolerance)
@@ -100,29 +101,34 @@ def test_confidence_merge_growth():
     assert conf.max() > params.conf_new * 2  # merged at least twice
 
 
-def test_zero_fuse_thresh_rarely_merges():
+def test_zero_fuse_thresh_never_merges_moving_camera():
     """Reference default fuse_thresh_factor = 0.0 makes the depth gate
-    near-impossible (|dz|*lambda <= 0) — merge count must be ~0."""
+    require EXACT float equality |dz|*lambda <= 0 (data.vert:151 with
+    fuseThresh=0).  A moving camera resamples depth continuously, so no
+    candidate can tie its target exactly: merged must be 0 every frame and
+    every in-view association lands on the new-unstable (-1) or removed
+    path instead."""
     m = make_mapper()
-    scene = SyntheticScene(m.cam, step=0.0)
-    for i in range(3):
+    scene = SyntheticScene(m.cam, step=0.5)
+    total_merged = 0
+    for i in range(4):
         rgb, d, s, T = scene.frame(i)
         stats = m.process_frame(rgb, d, s, T)
-    # exact float equality can pass for a static camera, so allow a few
-    assert stats["merged"] <= stats["count"]
+        if i >= 1:
+            total_merged += int(stats["merged"])
+            assert int(stats["new"]) > 0
+    assert total_merged == 0
 
 
 def test_compact_drops_nonpositive_conf_and_preserves_order():
     smap = empty_map(16)
     n = 6
-    smap.pos = smap.pos.at[:n].set(
-        jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3)
-    )
+    smap.px = smap.px.at[:n].set(jnp.arange(n, dtype=jnp.float32) * 3.0)
     smap.conf = smap.conf.at[:n].set(jnp.asarray([1.0, -0.1, 2.0, 0.0, 0.5, 3.0]))
     smap.count = jnp.int32(n)
     out = compact(smap)
     assert int(out.count) == 4
-    kept = np.asarray(out.pos[:4, 0])
+    kept = np.asarray(out.px[:4])
     assert list(kept) == [0.0, 6.0, 12.0, 15.0]
     # tail rows zeroed
     assert np.asarray(out.conf[4:]).sum() == 0

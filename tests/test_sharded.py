@@ -81,14 +81,12 @@ def test_sharded_geometry_matches_single_chip():
         m.process_frame(rgb, d, s, T)
 
     # same multiset of surfel positions (order differs across shards)
-    S = state.pos.shape[0] // 8
-    pos_parts = []
-    counts = np.asarray(state.counts)
-    pos_all = np.asarray(state.pos)
-    for dev in range(8):
-        pos_parts.append(pos_all[dev * S : dev * S + counts[dev]])
-    sharded_pos = np.concatenate(pos_parts)
-    single_pos = np.asarray(m.smap.pos)[: m.count]
+    from surfelmapping_tpu.parallel.sharded import gather_sharded_map
+
+    merged = gather_sharded_map(state, 8)
+    sharded_pos = np.asarray(merged.pos())[: int(merged.count)]
+    smap = m.smap
+    single_pos = np.asarray(smap.pos())[: m.count]
     assert sharded_pos.shape == single_pos.shape
     a = np.sort(np.round(sharded_pos, 4).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
     b = np.sort(np.round(single_pos, 4).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
@@ -98,7 +96,13 @@ def test_sharded_geometry_matches_single_chip():
 
 def test_shards_balanced():
     state, stats, _ = run_sharded(n_frames=4)
-    counts = np.asarray(state.counts)
-    assert counts.sum() == int(stats["count"])
-    if counts.sum() >= 8:
-        assert counts.max() - counts.min() <= max(2, counts.sum() // 8 // 2)
+    counts = np.asarray(state.counts)  # per-shard tails (incl. tombstones)
+    # live surfels per shard (removal is tombstoned, reclaimed lazily)
+    S = state.px.shape[0] // 8
+    conf = np.asarray(state.conf)
+    live = np.array(
+        [(conf[d * S : d * S + counts[d]] > 0).sum() for d in range(8)]
+    )
+    assert live.sum() == int(stats["count"])
+    if live.sum() >= 8:
+        assert live.max() - live.min() <= max(2, live.sum() // 8 // 2)
