@@ -114,3 +114,62 @@ def exp_se3(xi: jax.Array) -> jax.Array:
     T = T.at[:3, :3].set(R)
     T = T.at[:3, 3].set(jnp.matmul(V, v, precision=HIGHEST))
     return T
+
+
+def log_se3(T: jax.Array) -> jax.Array:
+    """Logarithm map: 4x4 rigid transform -> 6-vector twist (v, w).
+
+    Inverse of :func:`exp_se3`; used by the windowed-BA layer's pose-graph
+    residuals (ba.py).  Numerically guarded at theta -> 0 and theta -> pi.
+    """
+    R = T[:3, :3]
+    t = T[:3, 3]
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    # w from the skew part; near theta=0 the first-order term is exact enough
+    skew = jnp.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]], T.dtype
+    )
+    s = jnp.sin(theta)
+    small = theta < 1e-6
+    # w = theta / (2 sin theta) * skew   (theta < pi - eps; KITTI-scale
+    # window increments never approach pi)
+    factor = jnp.where(small, 0.5, theta / jnp.maximum(2.0 * s, 1e-12))
+    w = factor * skew
+    K = jnp.array(
+        [
+            [0.0, -w[2], w[1]],
+            [w[2], 0.0, -w[0]],
+            [-w[1], w[0], 0.0],
+        ],
+        T.dtype,
+    )
+    th = jnp.maximum(theta, 1e-12)
+    KK = jnp.matmul(K, K, precision=HIGHEST)
+    # V^{-1} = I - K/2 + (1/theta^2)(1 - theta sin / (2(1-cos))) K^2
+    coef = jnp.where(
+        small,
+        1.0 / 12.0,
+        (1.0 - th * s / (2.0 * jnp.maximum(1.0 - cos_theta, 1e-12))) / (th * th),
+    )
+    Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * K + coef * KK
+    v = jnp.matmul(Vinv, t, precision=HIGHEST)
+    return jnp.concatenate([v, w])
+
+
+def adjoint_se3(T: jax.Array) -> jax.Array:
+    """6x6 adjoint of a rigid transform for (v, w)-ordered twists:
+    Adj(T) = [[R, [t]x R], [0, R]]."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    tx = jnp.array(
+        [
+            [0.0, -t[2], t[1]],
+            [t[2], 0.0, -t[0]],
+            [-t[1], t[0], 0.0],
+        ],
+        T.dtype,
+    )
+    top = jnp.concatenate([R, jnp.matmul(tx, R, precision=HIGHEST)], axis=1)
+    bot = jnp.concatenate([jnp.zeros((3, 3), T.dtype), R], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
