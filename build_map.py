@@ -29,6 +29,15 @@ def main(argv=None) -> int:
     ap.add_argument("--sub-level", type=int, default=0)
     ap.add_argument("--clean", action="store_true", help="run backward cleanPoints")
     ap.add_argument("--icp", action="store_true", help="refine poses with frame-to-model ICP")
+    ap.add_argument("--ba", action="store_true",
+                    help="refine poses with windowed bundle adjustment "
+                         "(odometry source = ICP when --icp is also given, "
+                         "else the input poses)")
+    ap.add_argument("--ba-window", type=int, default=5)
+    ap.add_argument("--ba-odo-weight", type=float, default=300.0)
+    ap.add_argument("--pose-noise", type=float, default=0.0, metavar="SIGMA",
+                    help="perturb input poses with random-walk noise (m/frame) "
+                         "— drives the ICP/BA parity experiments")
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="use N procedural frames instead of a dataset")
     ap.add_argument("--capacity", type=int, default=1 << 22)
@@ -75,24 +84,65 @@ def main(argv=None) -> int:
 
     mapper = SurfelMapper(cam, params, MapConfig(capacity=args.capacity))
 
-    icp = None
-    if args.icp:
-        from surfelmapping_tpu.icp import ICPRefiner
+    pp = ba = None
+    refine_pose = None
+    if args.icp or args.ba:
+        import functools
 
-        icp = ICPRefiner(cam, params)
+        import jax
+        import jax.numpy as jnp
+
+        from surfelmapping_tpu.icp import preprocess_for_icp, refine_pose
+
+        pp = jax.jit(functools.partial(preprocess_for_icp, cam=cam, params=params))
+    if args.ba:
+        from surfelmapping_tpu.ba import WindowedBA
+
+        ba = WindowedBA(cam, params, window=args.ba_window,
+                        odo_weight=args.ba_odo_weight)
+
+    noise_rng = np.random.default_rng(0) if args.pose_noise else None
+    drift = np.eye(4, dtype=np.float32)
 
     t0 = _time.perf_counter()
     n_frames = 0
     history = []
+    gt_poses = []
     for fid, rgb, depth, sem, pose in frames():
-        if icp is not None and mapper.count > 0:
-            pose = icp.refine(mapper._smap, depth, sem, pose)  # raw map: ICP gates tombstones itself
+        gt_poses.append(np.asarray(pose, np.float32))
+        if noise_rng is not None:
+            dT = np.eye(4, dtype=np.float32)
+            dT[:3, 3] = noise_rng.normal(0, args.pose_noise, 3)
+            drift = drift @ dT
+            pose = np.asarray(pose, np.float32) @ drift
+        if pp is not None and mapper.count > 0:
+            # ICP/BA run on the gathered in-frustum active table: every
+            # iteration costs O(in-view surfels), not O(capacity)
+            depth_m = pp(
+                jnp.asarray(np.asarray(depth).astype(np.uint16)),
+                jnp.asarray(np.asarray(sem).astype(np.int32)),
+            )
+            at = mapper.active_table(pose)
+            if args.icp:
+                refined, _ = refine_pose(
+                    at, depth_m, jnp.asarray(pose, jnp.float32), cam, params
+                )
+                pose = np.asarray(refined)
+            if ba is not None:
+                ba.push(depth_m, pose, at=at, time=float(fid))
+                pose = ba.refine(at, time=float(fid))
         stats = mapper.process_frame(rgb, depth, sem, pose)
         history.append((fid, rgb, depth, sem, pose))
         n_frames += 1
         if n_frames % 20 == 0:
             fps = n_frames / (_time.perf_counter() - t0)
             print(f"frame {fid}: surfels={mapper.count} fps={fps:.2f}", flush=True)
+
+    if args.icp or args.ba or args.pose_noise:
+        est = np.stack([np.asarray(h[4], np.float32)[:3, 3] for h in history])
+        gt = np.stack([p[:3, 3] for p in gt_poses])
+        ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+        print(f"ATE (rmse vs input gt): {ate:.4f} m")
 
     if args.clean:
         print("running backward cleanPoints pass ...")

@@ -7,6 +7,21 @@ with novel-view splat rendering for simulator data generation, frame-to-model
 ICP pose refinement, and a block-sharded map that scales across TPU meshes.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Honor JAX_PLATFORMS even when a hardware plugin ignores it (the dev
+# environment's TPU plugin claims the backend regardless of the env var).
+# Must run before any backend initialization; a no-op if the backend is
+# already live (tests force CPU through their own conftest).
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except RuntimeError:
+        pass
+
 from .config import CameraIntrinsics, MapConfig, PipelineParams
 from .pipeline import SurfelMapper
 from .surfels import SurfelMap, empty_map, load_map, save_map

@@ -27,9 +27,10 @@ TPU way:
     marginalization; linearization point frozen at elimination time);
   * **distribution is a psum**: every per-frame (A_k, b_k) is a plain masked
     sum over pixels, so a map-sharded deployment runs the identical kernel
-    per shard and all-reduces the 6K x 6K system over the mesh axis —
-    `axis_name` threads straight through (parallel/sharded.py wires it).
-    The collective moves O(K^2) floats per iteration, nothing per-pixel.
+    per shard and all-reduces the per-frame systems over the mesh axis by
+    passing ``axis_name`` (tests/test_ba.py exercises this inside shard_map
+    on a CPU mesh).  The collective moves O(K) 6x6 blocks per iteration,
+    nothing per-pixel.  Single-chip entry: ``build_map.py --ba``.
 
 Gauge: pose 0 of the window always carries a prior (the gauge fix before the
 first slide, the marginalization prior after), so the system is full-rank.
@@ -151,10 +152,14 @@ def _frame_to_map_block(
     T_inv = invert_se3(pose)
     idx = index_active(at, T_inv, time, cam, params)
     fa = params.index_factor
-    # take the index pixel at the center of each stride cell (factor-scaled)
+    # take the index pixel of each stride cell's center: a point at depth
+    # pixel center (c + 0.5) rasterizes to supersampled pixel
+    # ceil(fa*(c+0.5)) - 1 = fa*c + ceil(fa/2) - 1, so the slice start is
+    # (stride//2)*fa + (fa - 1)//2 (== (stride//2)*fa for fa <= 2)
+    start = (stride // 2) * fa + (fa - 1) // 2
     sl = (
-        slice((stride // 2) * fa, cam.height * fa, stride * fa),
-        slice((stride // 2) * fa, cam.width * fa, stride * fa),
+        slice(start, cam.height * fa, stride * fa),
+        slice(start, cam.width * fa, stride * fa),
     )
     ids = idx[sl].reshape(-1)
     has = ids >= 0
@@ -225,7 +230,6 @@ def _assemble_and_solve(
     g = g.at[0].add(prior_g)
 
     # dense 6K x 6K assembly (K is tiny; clarity over sparsity)
-    Hm = jax.vmap(jnp.diag, in_axes=0)(jnp.ones((K,)))  # placeholder
     Hm = jnp.zeros((K, 6, K, 6), jnp.float32)
     Hm = Hm.at[jnp.arange(K), :, jnp.arange(K), :].set(diag)
     Hm = Hm.at[jnp.arange(K - 1), :, jnp.arange(1, K), :].add(-EtE)
@@ -392,7 +396,8 @@ class WindowedBA:
         stride: int = 4,
         iters: int = 3,
         odo_weight: float = 1e4,
-        gauge_weight: float = 1e6,
+        gauge_weight: float = 1e2,
+        prior_decay: float = 0.3,
     ):
         self.cam = cam
         self.params = params
@@ -400,9 +405,19 @@ class WindowedBA:
         self.stride = stride
         self.iters = iters
         self.odo_weight = odo_weight
+        # Marginalization-prior forgetting: each slide multiplies the carried
+        # prior by this factor.  Without it the prior accumulates information
+        # at stale linearization points indefinitely and eventually out-weighs
+        # the live map term (measured: window drifts after ~2 slides).
+        self.prior_decay = prior_decay
         self.P = subsample_count(cam, stride)
         self.win = empty_window(window, self.P)
         self._gauge = gauge_weight
+        # last RAW odometry pose: odometry edges are formed between
+        # consecutive raw odometry estimates, NOT against the BA-refined
+        # window poses — otherwise every BA correction to frame k-1 leaks
+        # into edge (k-1, k) as spurious relative motion with weight odo_w.
+        self._last_odo: jax.Array | None = None
         self.last_diag: dict = {}
         self._sub = jax.jit(
             functools.partial(
@@ -419,6 +434,7 @@ class WindowedBA:
         K = self.K
         nv = int(w.n_valid)
         pose_odo = jnp.asarray(pose_odo, jnp.float32)
+        prev_odo, self._last_odo = self._last_odo, pose_odo
         if nv == 0:
             w = dataclasses.replace(
                 w,
@@ -433,12 +449,17 @@ class WindowedBA:
             )
             self.win = w
             return
+        if prev_odo is None:
+            prev_odo = pose_odo  # defensive: identity relative motion
         if nv < K:
             i = nv
-            z = compose(invert_se3(w.poses[i - 1]), pose_odo)
+            z = compose(invert_se3(prev_odo), pose_odo)
+            # initial estimate chains the raw relative motion onto the
+            # refined previous estimate (not the raw absolute pose)
+            pose_init = compose(w.poses[i - 1], z)
             self.win = dataclasses.replace(
                 w,
-                poses=w.poses.at[i].set(pose_odo),
+                poses=w.poses.at[i].set(pose_init),
                 v_c=w.v_c.at[i].set(v),
                 n_c=w.n_c.at[i].set(n),
                 valid=w.valid.at[i].set(ok),
@@ -452,16 +473,19 @@ class WindowedBA:
                 w, at, jnp.float32(time), self.cam, self.params,
                 self.stride, self.odo_weight,
             )
+            Hs = Hs * self.prior_decay
+            bs = bs * self.prior_decay
         else:
             # odometry-only elimination (map term absent): keep the window
             # anchored by a weak prior at the old pose-1 estimate
             Hs = jnp.eye(6, dtype=jnp.float32) * min(self._gauge, 1e4)
             bs = jnp.zeros((6,), jnp.float32)
             T0 = w.poses[1]
-        z_new = compose(invert_se3(w.poses[K - 1]), pose_odo)
+        z_new = compose(invert_se3(prev_odo), pose_odo)
+        pose_init = compose(w.poses[K - 1], z_new)
         self.win = dataclasses.replace(
             w,
-            poses=jnp.concatenate([w.poses[1:], pose_odo[None]], axis=0),
+            poses=jnp.concatenate([w.poses[1:], pose_init[None]], axis=0),
             v_c=jnp.concatenate([w.v_c[1:], v[None]], axis=0),
             n_c=jnp.concatenate([w.n_c[1:], n[None]], axis=0),
             valid=jnp.concatenate([w.valid[1:], ok[None]], axis=0),

@@ -24,10 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from .config import CameraIntrinsics, PipelineParams
+from .ops.active import ActiveTable, index_active, table_from_map
 from .ops.frame_surfels import backproject, central_normals
-from .ops.index_map import build_index_map
-from .ops.preprocess import metricize_depth, preprocess_frame
+from .ops.preprocess import preprocess_frame
 from .ops.transforms import compose, exp_se3, invert_se3, safe_normalize
+from .surfels import SurfelMap
 
 _EPS = 1e-12
 
@@ -66,6 +67,12 @@ def refine_pose(
 ):
     """Refine ``init_pose`` (camera-to-world) against the current map.
 
+    ``smap`` may be a full SurfelMap OR an ops.active.ActiveTable (the
+    gathered in-frustum working set, SurfelMapper.active_table) — the hot
+    deployment passes the table so every ICP iteration costs O(in-view
+    surfels), not O(capacity) (round-2 weakness: full-map index maps x 5
+    iterations dominated --icp runs at multi-million-surfel maps).
+
     ``depth_metric`` must be the SAME preprocessed depth the fusion pipeline
     ingests (preprocess_frame output) — the reference's near-flat 13x13
     smoothing kernel displaces depth by several cm, so refining against raw
@@ -73,6 +80,8 @@ def refine_pose(
 
     Returns (pose, diagnostics dict with rmse/inliers of the last iteration).
     """
+    at = smap if isinstance(smap, ActiveTable) else table_from_map(smap)
+    time = jnp.max(jnp.where(at.slot_valid, at.last_t, 0.0))
     depth = depth_metric
     vx, vy, vz = backproject(depth, cam)
     v_c = jnp.stack([vx.reshape(-1), vy.reshape(-1), vz.reshape(-1)], axis=-1)
@@ -88,14 +97,19 @@ def refine_pose(
     def body(_, carry):
         pose, _, _ = carry
         T_inv = invert_se3(pose)
-        idx = build_index_map(smap, T_inv, smap.last_t.max(), cam, params)
+        idx = index_active(at, T_inv, time, cam, params)
+        fa = params.index_factor
+        if fa > 1:
+            # index pixel of each depth pixel's center (ceil(fa*(c+0.5))-1)
+            s0 = (fa - 1) // 2
+            idx = idx[s0::fa, s0::fa]
         ids = idx.reshape(-1)
-        has = ids > 0
-        safe = jnp.clip(ids, 0, smap.capacity - 1)
+        has = ids >= 0  # index_active already excludes global id 0 at source
+        safe = jnp.clip(ids, 0, at.size - 1)
         # planar 1D gathers (fast path), stacked only at the small [P,3] stage
-        p_w = jnp.stack([smap.px[safe], smap.py[safe], smap.pz[safe]], axis=-1)
+        p_w = jnp.stack([at.x[safe], at.y[safe], at.z[safe]], axis=-1)
         n_w = safe_normalize(
-            jnp.stack([smap.nx[safe], smap.ny[safe], smap.nz[safe]], axis=-1)
+            jnp.stack([at.nx[safe], at.ny[safe], at.nz[safe]], axis=-1)
         )
 
         v_w = jnp.matmul(v_c, pose[:3, :3].T, precision=jax.lax.Precision.HIGHEST) + pose[:3, 3]

@@ -186,6 +186,24 @@ def _clean_step(
     return compact(smap)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cam", "params", "active_blocks", "block_size")
+)
+def _gather_active_for(
+    smap: SurfelMap,
+    pose: jax.Array,
+    cam: CameraIntrinsics,
+    params: PipelineParams,
+    active_blocks: int,
+    block_size: int,
+):
+    """Plan + gather the active table for an arbitrary camera pose (the
+    fusion step's working-set machinery exposed to ICP / windowed BA)."""
+    T_inv = invert_se3(pose)
+    blk, _ = plan_active_blocks(smap, T_inv, cam, params, active_blocks, block_size)
+    return gather_active(smap, blk, block_size)
+
+
 # ---------------------------------------------------------------------------
 # Host-side driver
 # ---------------------------------------------------------------------------
@@ -354,6 +372,16 @@ class SurfelMapper:
 
     def _maybe_grow(self, needed_extra: int = 0) -> None:
         self._maybe_grow_cached(int(self._smap.count) + needed_extra)
+
+    def active_table(self, pose):
+        """Gather the in-frustum active table for an external consumer (ICP /
+        windowed BA) at the same O(in-view) cost the fusion step pays — NOT
+        an O(capacity) full-map view.  ``pose`` is camera-to-world."""
+        pose = jnp.asarray(np.asarray(pose), jnp.float32)
+        return _gather_active_for(
+            self._smap, pose, self.cam, self.params,
+            self._effective_active_blocks, self.map_config.block_size,
+        )
 
     # -- frame ingestion ----------------------------------------------------
 
