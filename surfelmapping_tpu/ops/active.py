@@ -146,29 +146,19 @@ def _project(px, py, pz, T_inv: jax.Array, cam: CameraIntrinsics):
     return x, y, z, u, v
 
 
-def plan_active_blocks(
+def _active_block_mask(
     smap: SurfelMap,
     T_inv: jax.Array,
     cam: CameraIntrinsics,
     params: PipelineParams,
-    num_blocks: int,
     block_size: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Dense O(capacity) vector pass -> the <=num_blocks active block ids.
-
-    A block is active if any of its live surfels passes the conflict in-view
-    gate (conflict.vert:34) OR the index-map candidate gate (index_map.vert
-    projection + pixel bounds; the timeDelta gate is deliberately NOT applied
-    here — stale in-view surfels must still reach the conflict pass).
-
-    Returns (blk i32[num_blocks] ascending, with G = capacity/block_size as
-    the invalid filler; n_active = total active block count — the host
-    compares it to num_blocks to grow/shrink the budget at the next sync).
-    On overflow the highest-id (most recently appended, most likely relevant)
-    blocks are kept.
-    """
-    cap = smap.capacity
-    G = cap // block_size
+) -> jax.Array:
+    """bool[G] per-block activity: any live surfel in the block passes the
+    conflict in-view gate (conflict.vert:34) OR the index-map candidate gate
+    (index_map.vert projection + pixel bounds; the timeDelta gate is
+    deliberately NOT applied — stale in-view surfels must still reach the
+    conflict pass)."""
+    G = smap.capacity // block_size
     _, _, pc_z, u, v = _project(smap.px, smap.py, smap.pz, T_inv, cam)
     live = smap.conf > 0.0
     confl = _conflict_gates(u, v, pc_z, cam, params, params.near_clip, params.far_clip)
@@ -181,7 +171,44 @@ def plan_active_blocks(
         & (pc_z > 0.0) & (pc_z < params.far_clip)
     )
     act = (live & (confl | idxg)).reshape(G, block_size)
-    blk_act = jnp.any(act, axis=1)
+    return jnp.any(act, axis=1)
+
+
+def count_active_blocks(
+    smap: SurfelMap,
+    T_inv: jax.Array,
+    cam: CameraIntrinsics,
+    params: PipelineParams,
+    block_size: int,
+) -> jax.Array:
+    """i32 number of active blocks for this view — the pipeline dispatches
+    this as a tiny independent probe per frame so the host can detect (with
+    one frame of lag and zero pipeline stall) that a fusion step ran with a
+    truncated working set, and replay it exactly (pipeline.py)."""
+    return jnp.sum(
+        _active_block_mask(smap, T_inv, cam, params, block_size).astype(jnp.int32)
+    )
+
+
+def plan_active_blocks(
+    smap: SurfelMap,
+    T_inv: jax.Array,
+    cam: CameraIntrinsics,
+    params: PipelineParams,
+    num_blocks: int,
+    block_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense O(capacity) vector pass -> the <=num_blocks active block ids.
+
+    Returns (blk i32[num_blocks] ascending, with G = capacity/block_size as
+    the invalid filler; n_active = total active block count — the host
+    compares it to num_blocks to grow/shrink the budget at the next sync).
+    On overflow the highest-id (most recently appended, most likely relevant)
+    blocks are kept — and the host's per-frame probe (count_active_blocks)
+    detects the truncation and replays the frame with a grown budget.
+    """
+    G = smap.capacity // block_size
+    blk_act = _active_block_mask(smap, T_inv, cam, params, block_size)
     n_active = jnp.sum(blk_act.astype(jnp.int32))
     ids = jnp.where(blk_act, jnp.arange(G, dtype=jnp.int32), -1)
     ids = jnp.sort(ids)                      # inactive (-1) first, actives ascending

@@ -41,6 +41,7 @@ from .ops.active import (
     append_flat,
     associate_active,
     conflict_active,
+    count_active_blocks,
     fuse_active,
     gather_active,
     index_active,
@@ -186,6 +187,22 @@ def _clean_step(
     return compact(smap)
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "params", "block_size"))
+def _probe_active_count(
+    smap: SurfelMap,
+    pose: jax.Array,
+    cam: CameraIntrinsics,
+    params: PipelineParams,
+    block_size: int,
+) -> jax.Array:
+    """Tiny independent per-frame probe: the frame's true active-block count.
+
+    Dispatched BEFORE the fusion step on the same map state, so it completes
+    before the step does; the host reads it one frame later at zero pipeline
+    stall and replays the step if its budget truncated the working set."""
+    return count_active_blocks(smap, invert_se3(pose), cam, params, block_size)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cam", "params", "active_blocks", "block_size")
 )
@@ -258,6 +275,7 @@ class SurfelMapper:
         self._since_sync = 0
         self._pending_dropped = []
         self._pending_active = []
+        self._replay = None      # (probe, pre-step map, inputs, eff) of the last step
 
     @property
     def _effective_active_blocks(self) -> int:
@@ -275,6 +293,7 @@ class SurfelMapper:
         self._pending_dropped = []
         self._pending_active = []
         self._since_sync = 0
+        self._replay = None
 
     @property
     def smap(self) -> SurfelMap:
@@ -307,9 +326,41 @@ class SurfelMapper:
             "compaction changed the live count — tombstone accounting bug"
         )
 
+    def _resolve_probe(self) -> None:
+        """Settle the previous frame's active-count probe; if its fusion step
+        ran with a truncated working set (budget < true active count), grow
+        the budget and REPLAY the step from the retained pre-step map — the
+        result is bit-identical to an untruncated run, so budget overflow is
+        never a silent correctness erosion (round-2 weakness #5).
+
+        Reading the probe costs nothing pipeline-wise: it was dispatched
+        before the step on the same map state, so it completes first."""
+        if self._replay is None:
+            return
+        probe, prev_smap, inputs, eff_used = self._replay
+        self._replay = None
+        n = int(probe)
+        cfg = self.map_config
+        if n > eff_used:
+            while self.active_blocks < n:
+                self.active_blocks *= 2
+            smap, filtered, dropped, stats_dev = _fusion_step(
+                prev_smap, *inputs, self.cam, self.params,
+                self._effective_active_blocks, cfg.block_size,
+            )
+            self._smap = smap
+            self.last_depth = filtered
+            if self._pending_dropped:
+                self._pending_dropped[-1] = dropped
+                self._pending_active[-1] = stats_dev["active_blocks"]
+        elif n > cfg.active_watermark * eff_used:
+            # preemptive growth so the next dispatch is not borderline
+            self.active_blocks = max(self.active_blocks, eff_used * 2)
+
     def _refresh_counts(self) -> None:
         """Periodic host sync: drain pending overflow flags, cache counts,
         apply the deferred-compaction policy and active-budget growth."""
+        self._resolve_probe()
         if self._pending_dropped:
             total = sum(int(d) for d in self._pending_dropped)
             self._pending_dropped = []
@@ -377,6 +428,7 @@ class SurfelMapper:
         """Gather the in-frustum active table for an external consumer (ICP /
         windowed BA) at the same O(in-view) cost the fusion step pays — NOT
         an O(capacity) full-map view.  ``pose`` is camera-to-world."""
+        self._resolve_probe()
         pose = jnp.asarray(np.asarray(pose), jnp.float32)
         return _gather_active_for(
             self._smap, pose, self.cam, self.params,
@@ -431,6 +483,7 @@ class SurfelMapper:
         src/SurfelMapping.cpp:115-251).  ``pose`` is the ground-truth (or
         ICP-refined) camera-to-world 4x4.  Returns per-frame stats."""
         sw = self.stopwatch
+        self._resolve_probe()  # settle/repair the previous frame first
         rgb, depth, semantic, pose = self._to_device(rgb, depth, semantic, pose)
 
         if not self.ref_frame_set:
@@ -466,14 +519,28 @@ class SurfelMapper:
             max_new = (self.cam.height * self.cam.width) // 2 + 1
             frames_ahead = self.sync_every - self._since_sync + 1
             self._maybe_grow_cached(self._cached_tail + frames_ahead * max_new)
+            eff = self._effective_active_blocks
+            prev_smap, prev_depth, prev_pose = self._smap, self.last_depth, self.last_pose
             with sw.time("Run"):
+                # probe first: same map state, completes before the step, read
+                # next frame at zero stall (see _resolve_probe)
+                probe = _probe_active_count(
+                    prev_smap, pose, self.cam, self.params,
+                    self.map_config.block_size,
+                )
                 smap, filtered, dropped, stats_dev = _fusion_step(
-                    self._smap, depth, rgb, semantic, pose,
-                    self.last_depth, self.last_pose, time,
+                    prev_smap, depth, rgb, semantic, pose,
+                    prev_depth, prev_pose, time,
                     self.cam, self.params,
-                    self._effective_active_blocks, self.map_config.block_size,
+                    eff, self.map_config.block_size,
                 )
             self._smap = smap
+            self._replay = (
+                probe,
+                prev_smap,
+                (depth, rgb, semantic, pose, prev_depth, prev_pose, time),
+                eff,
+            )
             self._pending_dropped.append(dropped)
             self._pending_active.append(stats_dev.pop("active_blocks"))
             self._since_sync += 1
@@ -490,6 +557,7 @@ class SurfelMapper:
 
     def clean_points(self, depth, semantic, pose) -> None:
         """Backward ghost-removal replay (reference cleanPoints)."""
+        self._resolve_probe()
         _, depth, semantic, pose = self._to_device(
             np.zeros((1, 1, 3)), depth, semantic, pose
         )

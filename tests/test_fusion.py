@@ -164,3 +164,38 @@ def test_capacity_growth_replays_frame():
         m.process_frame(rgb, d, s, T)
     assert m.count > 64
     assert m.smap.capacity > 64
+
+
+def test_active_budget_overflow_is_replayed_exactly():
+    """A too-small active-block budget must never silently truncate a frame's
+    working set: the per-frame probe detects the overflow one frame later and
+    replays the step with a grown budget (pipeline._resolve_probe), so the
+    final map is identical to a run that never overflowed."""
+    cam = tiny_cam()
+    params = PipelineParams(fuse_thresh_factor=0.05, stereo_border=0.0)
+    scene = SyntheticScene(cam, step=0.4)
+
+    def run(active_blocks):
+        m = SurfelMapper(
+            cam, params,
+            MapConfig(capacity=1 << 16, block_size=256,
+                      active_blocks=active_blocks),
+            sync_every=64,  # periodic sync never fires: only the probe guards
+        )
+        for i in range(8):
+            rgb, d, s, T = scene.frame(i)
+            m.process_frame(rgb, d, s, T)
+        return m
+
+    small = run(1)      # hopelessly under-budgeted: must grow via replay
+    big = run(1024)     # never truncates
+    assert small.active_blocks > 1, "budget never grew — probe did not fire"
+    a, b = small.smap, big.smap
+    assert int(a.count) == int(b.count)
+    n = int(a.count)
+    for col in ("px", "py", "pz", "conf", "colorsem", "init_t", "last_t",
+                "nx", "ny", "nz", "radius"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, col)[:n]), np.asarray(getattr(b, col)[:n]),
+            err_msg=f"column {col} diverged after budget-overflow replay",
+        )
