@@ -11,14 +11,14 @@ import os as _os
 
 import jax as _jax
 
-# Honor JAX_PLATFORMS even when a hardware plugin ignores it (the dev
+# Honor JAX_PLATFORMS=cpu even when a hardware plugin ignores it (the dev
 # environment's TPU plugin claims the backend regardless of the env var).
-# Must run before any backend initialization; a no-op if the backend is
-# already live (tests force CPU through their own conftest).
-_plat = _os.environ.get("JAX_PLATFORMS", "")
-if _plat:
+# Only the "cpu" escape hatch is forced — hardware platform names are plugin
+# aliases jax must resolve itself.  Must run before backend initialization;
+# a no-op if a backend is already live (tests force CPU via their conftest).
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     try:
-        _jax.config.update("jax_platforms", _plat)
+        _jax.config.update("jax_platforms", "cpu")
     except RuntimeError:
         pass
 

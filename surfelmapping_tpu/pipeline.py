@@ -41,7 +41,6 @@ from .ops.active import (
     append_flat,
     associate_active,
     conflict_active,
-    count_active_blocks,
     fuse_active,
     gather_active,
     index_active,
@@ -187,22 +186,6 @@ def _clean_step(
     return compact(smap)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "params", "block_size"))
-def _probe_active_count(
-    smap: SurfelMap,
-    pose: jax.Array,
-    cam: CameraIntrinsics,
-    params: PipelineParams,
-    block_size: int,
-) -> jax.Array:
-    """Tiny independent per-frame probe: the frame's true active-block count.
-
-    Dispatched BEFORE the fusion step on the same map state, so it completes
-    before the step does; the host reads it one frame later at zero pipeline
-    stall and replays the step if its budget truncated the working set."""
-    return count_active_blocks(smap, invert_se3(pose), cam, params, block_size)
-
-
 @functools.partial(
     jax.jit, static_argnames=("cam", "params", "active_blocks", "block_size")
 )
@@ -275,7 +258,12 @@ class SurfelMapper:
         self._since_sync = 0
         self._pending_dropped = []
         self._pending_active = []
-        self._replay = None      # (probe, pre-step map, inputs, eff) of the last step
+        # Budget-overflow guard (see _repair_overflow): the map/depth/pose
+        # state at the start of the current unverified frame window (a free
+        # snapshot — jax arrays are immutable) + each window frame's staged
+        # inputs and dispatched budget.
+        self._chk = None
+        self._window = []
 
     @property
     def _effective_active_blocks(self) -> int:
@@ -293,7 +281,8 @@ class SurfelMapper:
         self._pending_dropped = []
         self._pending_active = []
         self._since_sync = 0
-        self._replay = None
+        self._chk = None
+        self._window = []
 
     @property
     def smap(self) -> SurfelMap:
@@ -326,41 +315,48 @@ class SurfelMapper:
             "compaction changed the live count — tombstone accounting bug"
         )
 
-    def _resolve_probe(self) -> None:
-        """Settle the previous frame's active-count probe; if its fusion step
-        ran with a truncated working set (budget < true active count), grow
-        the budget and REPLAY the step from the retained pre-step map — the
-        result is bit-identical to an untruncated run, so budget overflow is
-        never a silent correctness erosion (round-2 weakness #5).
+    def _repair_overflow(self) -> None:
+        """Verify the unverified frame window and repair budget overflows.
 
-        Reading the probe costs nothing pipeline-wise: it was dispatched
-        before the step on the same map state, so it completes first."""
-        if self._replay is None:
-            return
-        probe, prev_smap, inputs, eff_used = self._replay
-        self._replay = None
-        n = int(probe)
+        Each fusion step's true active-block count (part of its stats) is
+        read here in one batch — per-frame reads are poison on a deferred-
+        dispatch backend, so the check piggybacks on the periodic sync.  If
+        any frame ran with a truncated working set (budget < true count), the
+        budget grows and the WHOLE window is replayed from the retained
+        checkpoint (a free snapshot: jax arrays are immutable).  The result
+        is bit-identical to a run that never overflowed, so budget overflow
+        is never a silent correctness erosion (round-2 weakness #5).  Repair
+        loops because the replayed (correct) maps can expose a still-larger
+        working set than the truncated run reported."""
         cfg = self.map_config
-        if n > eff_used:
-            while self.active_blocks < n:
+        for _ in range(32):  # paranoid bound; budget growth is monotone
+            if not self._window:
+                return
+            acts = [int(a) for a in self._pending_active]
+            effs = [eff for (_, eff) in self._window]
+            if all(a <= e for a, e in zip(acts, effs)):
+                return
+            peak = max(acts)
+            while self.active_blocks < peak:
                 self.active_blocks *= 2
-            smap, filtered, dropped, stats_dev = _fusion_step(
-                prev_smap, *inputs, self.cam, self.params,
-                self._effective_active_blocks, cfg.block_size,
-            )
+            smap = self._chk  # map state before the first window frame
+            for i, (inp, _) in enumerate(self._window):
+                eff = self._effective_active_blocks
+                smap, filtered, dropped, stats_dev = _fusion_step(
+                    smap, *inp, self.cam, self.params, eff, cfg.block_size,
+                )
+                self._pending_dropped[i] = dropped
+                self._pending_active[i] = stats_dev["active_blocks"]
+                self._window[i] = (inp, eff)
             self._smap = smap
             self.last_depth = filtered
-            if self._pending_dropped:
-                self._pending_dropped[-1] = dropped
-                self._pending_active[-1] = stats_dev["active_blocks"]
-        elif n > cfg.active_watermark * eff_used:
-            # preemptive growth so the next dispatch is not borderline
-            self.active_blocks = max(self.active_blocks, eff_used * 2)
+        raise RuntimeError("active-budget repair did not converge (bug)")
 
     def _refresh_counts(self) -> None:
-        """Periodic host sync: drain pending overflow flags, cache counts,
-        apply the deferred-compaction policy and active-budget growth."""
-        self._resolve_probe()
+        """Periodic host sync: verify/repair the frame window, drain pending
+        overflow flags, cache counts, apply the deferred-compaction policy
+        and active-budget growth."""
+        self._repair_overflow()
         if self._pending_dropped:
             total = sum(int(d) for d in self._pending_dropped)
             self._pending_dropped = []
@@ -374,27 +370,16 @@ class SurfelMapper:
             self._pending_active = []
             eff = self._effective_active_blocks
             cfg_ = self.map_config
-            if peak > eff:
-                # Frames since the last sync ran with a too-small active set:
-                # some in-view blocks escaped conflict/association.  Grow the
-                # budget so it cannot recur, and surface the event.
-                import warnings
-
-                while self.active_blocks < peak:
-                    self.active_blocks *= 2
-                warnings.warn(
-                    f"active-block budget overflowed ({peak} > {eff}); grown "
-                    f"to {self.active_blocks} — frames since the last sync "
-                    "used a truncated working set",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
-            elif peak > cfg_.active_watermark * eff:
+            if peak > cfg_.active_watermark * eff:
+                # grow preemptively before the working set hits the budget
+                # (overflow itself is exactly repaired by _repair_overflow)
                 self.active_blocks = max(self.active_blocks, eff * 2)
             elif peak * 4 < eff and eff > cfg_.active_blocks:
                 # shrink back toward the configured floor when the frustum
                 # working set drops (each bucket is its own jit entry)
                 self.active_blocks = max(cfg_.active_blocks, eff // 2)
+        self._chk = None
+        self._window = []
         self._cached_tail = int(self._smap.count)
         self._cached_count = int(jnp.sum(self._smap.conf > 0.0))
         self._since_sync = 0
@@ -428,7 +413,7 @@ class SurfelMapper:
         """Gather the in-frustum active table for an external consumer (ICP /
         windowed BA) at the same O(in-view) cost the fusion step pays — NOT
         an O(capacity) full-map view.  ``pose`` is camera-to-world."""
-        self._resolve_probe()
+        self._repair_overflow()
         pose = jnp.asarray(np.asarray(pose), jnp.float32)
         return _gather_active_for(
             self._smap, pose, self.cam, self.params,
@@ -483,7 +468,6 @@ class SurfelMapper:
         src/SurfelMapping.cpp:115-251).  ``pose`` is the ground-truth (or
         ICP-refined) camera-to-world 4x4.  Returns per-frame stats."""
         sw = self.stopwatch
-        self._resolve_probe()  # settle/repair the previous frame first
         rgb, depth, semantic, pose = self._to_device(rgb, depth, semantic, pose)
 
         if not self.ref_frame_set:
@@ -522,12 +506,6 @@ class SurfelMapper:
             eff = self._effective_active_blocks
             prev_smap, prev_depth, prev_pose = self._smap, self.last_depth, self.last_pose
             with sw.time("Run"):
-                # probe first: same map state, completes before the step, read
-                # next frame at zero stall (see _resolve_probe)
-                probe = _probe_active_count(
-                    prev_smap, pose, self.cam, self.params,
-                    self.map_config.block_size,
-                )
                 smap, filtered, dropped, stats_dev = _fusion_step(
                     prev_smap, depth, rgb, semantic, pose,
                     prev_depth, prev_pose, time,
@@ -535,14 +513,14 @@ class SurfelMapper:
                     eff, self.map_config.block_size,
                 )
             self._smap = smap
-            self._replay = (
-                probe,
-                prev_smap,
-                (depth, rgb, semantic, pose, prev_depth, prev_pose, time),
-                eff,
+            n_act = stats_dev.pop("active_blocks")
+            if not self._window:
+                self._chk = prev_smap  # free snapshot (immutable arrays)
+            self._window.append(
+                ((depth, rgb, semantic, pose, prev_depth, prev_pose, time), eff)
             )
             self._pending_dropped.append(dropped)
-            self._pending_active.append(stats_dev.pop("active_blocks"))
+            self._pending_active.append(n_act)
             self._since_sync += 1
             if self._since_sync >= self.sync_every:
                 self._refresh_counts()
@@ -557,7 +535,7 @@ class SurfelMapper:
 
     def clean_points(self, depth, semantic, pose) -> None:
         """Backward ghost-removal replay (reference cleanPoints)."""
-        self._resolve_probe()
+        self._refresh_counts()
         _, depth, semantic, pose = self._to_device(
             np.zeros((1, 1, 3)), depth, semantic, pose
         )

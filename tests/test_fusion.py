@@ -185,11 +185,12 @@ def test_active_budget_overflow_is_replayed_exactly():
         for i in range(8):
             rgb, d, s, T = scene.frame(i)
             m.process_frame(rgb, d, s, T)
+        _ = m.count  # sync point: verifies the window and repairs overflows
         return m
 
     small = run(1)      # hopelessly under-budgeted: must grow via replay
     big = run(1024)     # never truncates
-    assert small.active_blocks > 1, "budget never grew — probe did not fire"
+    assert small.active_blocks > 1, "budget never grew — repair did not fire"
     a, b = small.smap, big.smap
     assert int(a.count) == int(b.count)
     n = int(a.count)
