@@ -17,7 +17,14 @@ O(map) — ops/active.py).
 from __future__ import annotations
 
 import json
+import os
 import time as _time
+
+# persistent executable cache: budget-bucket re-jits must not pay a fresh
+# XLA compile on every bench invocation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
 
 
 def _measure_window(mapper, frames, lo, hi) -> tuple[float, int]:
@@ -46,7 +53,7 @@ def main() -> None:
     mapper = SurfelMapper(
         cam,
         params,
-        MapConfig(capacity=1 << 23, active_blocks=512),
+        MapConfig(capacity=1 << 23),
         sync_every=16,
     )
     scene = SyntheticScene(cam, step=0.8)
@@ -59,11 +66,13 @@ def main() -> None:
     frames = [mapper.stage_frame(*scene.frame(i)) for i in range(n_total)]
 
     # warmup: compile every step shape + the sync path + the deferred
-    # compaction shape (it fires periodically once tombstones accumulate)
+    # compaction shape (it fires periodically once tombstones accumulate);
+    # the interleaved syncs let the active budget settle on its bucket so
+    # no re-jit lands inside a timed window
     for i in range(4):
         rgb, d, s, T = frames[i]
         mapper.process_frame(rgb, d, s, T)
-    mapper._refresh_counts()
+        mapper._refresh_counts()
     mapper._compact_now()
 
     curve = []

@@ -204,6 +204,22 @@ def remove_movings(
     return jnp.where(cull, 0.0, depth)
 
 
+import os as _os
+
+
+def _use_pallas_stencil() -> bool:
+    """The fused Pallas stencil kernel runs on real TPU backends only (the
+    jnp path is the reference semantics everywhere else, including the
+    deterministic CPU test backend).  SMTPU_NO_PALLAS=1 forces the jnp path
+    for A/B debugging."""
+    if _os.environ.get("SMTPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - backend not initialized
+        return False
+
+
 def preprocess_frame(
     depth_raw_mm: jax.Array,
     semantic: jax.Array,
@@ -215,8 +231,16 @@ def preprocess_frame(
     Returns the DEPTH_FILTERED image after the second support pass; it both
     becomes the next frame's LAST image (src/SurfelMapping.cpp:244) and, after
     :func:`remove_movings`, the fusion depth (the final METRIC texture).
+
+    On TPU the three stencil passes run as one fused Pallas kernel
+    (ops/pallas_preprocess.py) — same gates, float-reassociation-level
+    differences only.
     """
     metric = metricize_depth(depth_raw_mm, cam, params)
+    if _use_pallas_stencil():
+        from .pallas_preprocess import preprocess_stencil_tpu
+
+        return preprocess_stencil_tpu(metric, semantic, cam, params)
     filtered = support_filter(metric, semantic, params, params.filter_diff_thresh_1)
     smoothed = smooth_depth(filtered, semantic, cam, params)
     return support_filter(smoothed, semantic, params, params.filter_diff_thresh_2)

