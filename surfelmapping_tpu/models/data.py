@@ -7,7 +7,11 @@
     label ONLY (kitti_dataset.py:84-101) to simulate render holes;
   * RandomErasing (SPADE/util/random_erasing.py): p=0.8, area 2-30%, aspect
     0.3-1/0.3, erase value 0;
-  * SingleDataset semantics for inference (label only, full-width crops).
+  * bad-frame skip list: the reference drops hardcoded KITTI frame-id ranges
+    at load time (kitti_dataset.py:126-139); here the ranges are a dataset
+    parameter with the reference's values as the documented default;
+  * SingleDataset semantics for inference (label only, 1248-wide crops at
+    aspect 3.25, start_frame_id skip — single_dataset.py:23-40).
 """
 
 from __future__ import annotations
@@ -17,6 +21,26 @@ from dataclasses import dataclass
 
 import numpy as np
 from PIL import Image
+
+# The reference's hardcoded bad-frame id ranges for its KITTI sequence
+# (SPADE/data/kitti_dataset.py:126-139): inclusive [lo, hi] pairs.
+KITTI_BAD_FRAME_RANGES: tuple[tuple[int, int], ...] = (
+    (0, 56), (69, 134), (840, 1306), (1674, 1705),
+)
+
+
+def _frame_id(name: str) -> int | None:
+    try:
+        return int(name.split(".")[0])
+    except ValueError:
+        return None
+
+
+def in_skip_ranges(name: str, ranges) -> bool:
+    fid = _frame_id(name)
+    if fid is None:
+        return False
+    return any(lo <= fid <= hi for lo, hi in ranges)
 
 
 def random_erasing(
@@ -59,11 +83,17 @@ class PairedRenderDataset:
     flip: bool = True
     erase: bool = True
     seed: int = 0
+    # inclusive [lo, hi] frame-id ranges to drop; pass
+    # KITTI_BAD_FRAME_RANGES for the reference's hardcoded skip list
+    skip_ranges: tuple[tuple[int, int], ...] = ()
 
     def __post_init__(self):
         labels = sorted(os.listdir(self.label_dir))
         images = set(os.listdir(self.image_dir))
-        self.names = [n for n in labels if n in images]
+        self.names = [
+            n for n in labels
+            if n in images and not in_skip_ranges(n, self.skip_ranges)
+        ]
         if not self.names:
             raise ValueError("no paired files between label and image dirs")
         self.rng = np.random.default_rng(self.seed)
@@ -103,6 +133,48 @@ class PairedRenderDataset:
         for _ in range(steps):
             labs, imgs = zip(*(self.sample() for _ in range(batch_size)))
             yield np.stack(labs), np.stack(imgs)
+
+
+@dataclass
+class SingleRenderDataset:
+    """Inference dataset: rendered labels only, deterministic order
+    (reference SingleDataset, SPADE/data/single_dataset.py:23-40 — KITTI
+    defaults crop_size=1248, aspect_ratio=3.25, i.e. 1248x384 center-crops,
+    frames before ``start_frame_id`` skipped)."""
+
+    label_dir: str
+    crop_size: int = 1248
+    aspect_ratio: float = 3.25
+    start_frame_id: int = 0
+
+    def __post_init__(self):
+        names = sorted(os.listdir(self.label_dir))
+        self.names = [
+            n for n in names
+            if (_frame_id(n) is None or _frame_id(n) >= self.start_frame_id)
+        ]
+        self.out_h = int(round(self.crop_size / self.aspect_ratio))
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __iter__(self):
+        for name in self.names:
+            yield name, self.load(name)
+
+    def load(self, name: str) -> np.ndarray:
+        """float32 HWC label in [-1, 1], resized/cropped to
+        (crop_size/aspect, crop_size)."""
+        lab = Image.open(os.path.join(self.label_dir, name)).convert("RGB")
+        w, h = lab.size
+        cw, ch = self.crop_size, self.out_h
+        scale = max(cw / w, ch / h)
+        nw, nh = int(round(w * scale)), int(round(h * scale))
+        lab = lab.resize((nw, nh), Image.NEAREST)
+        x = (nw - cw) // 2
+        y = (nh - ch) // 2
+        arr = np.asarray(lab)[y : y + ch, x : x + cw]
+        return arr.astype(np.float32) / 127.5 - 1.0
 
 
 def postprocess_composite(

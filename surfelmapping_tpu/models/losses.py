@@ -3,10 +3,12 @@
   * hinge GAN loss (the reference default, loss.py GANLoss 'hinge');
   * multiscale feature-matching L1 (pix2pix_model.py:151-160, lambda 10/num_D);
   * VGG19 perceptual loss with the reference's 1/32..1 layer weights
-    (loss.py VGGLoss).  Pretrained torchvision weights are imported when a
-    checkpoint is available locally (zero-egress environments fall back to a
-    fixed randomly-initialised feature net — random conv features still give
-    a usable perceptual metric and keep the loss surface defined);
+    (loss.py VGGLoss).  :func:`load_vgg19_weights` imports pretrained
+    torchvision weights from a local ``vgg19*.pth`` / ``.npz`` checkpoint
+    (path or SMTPU_VGG19 env var; zero-egress environments without a local
+    checkpoint fall back to a fixed randomly-initialised feature net —
+    random conv features still give a usable perceptual metric and keep the
+    loss surface defined);
   * KL divergence for the optional VAE mode (loss.py KLDLoss).
 """
 
@@ -84,6 +86,52 @@ class VGG19Features(nn.Module):
             if bi < len(cfg) - 1:
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
         return outs
+
+
+def load_vgg19_weights(path: str | None = None):
+    """Flax params for :class:`VGG19Features` from a LOCAL pretrained
+    checkpoint (the reference uses torchvision's pretrained VGG19,
+    SPADE/models/networks/architecture.py:94-124 + loss.py:15).
+
+    Accepts either a torch ``.pth`` state_dict (torchvision layout:
+    ``features.{idx}.weight`` [out,in,kh,kw]) or an ``.npz`` with keys
+    ``conv{i}_kernel`` / ``conv{i}_bias`` already in flax layout
+    [kh,kw,in,out].  ``path=None`` reads the SMTPU_VGG19 env var.  Returns
+    None when no checkpoint is available (callers fall back to random init).
+    """
+    import os
+
+    path = path or os.environ.get("SMTPU_VGG19")
+    if not path or not os.path.exists(path):
+        return None
+    if path.endswith(".npz"):
+        import numpy as np
+
+        data = np.load(path)
+        params = {
+            f"conv{i}": {
+                "kernel": jnp.asarray(data[f"conv{i}_kernel"]),
+                "bias": jnp.asarray(data[f"conv{i}_bias"]),
+            }
+            for i in range(16)
+        }
+        return {"params": params}
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    # torchvision vgg19.features conv layer indices, in order
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+    params = {}
+    for i, li in enumerate(conv_idx):
+        w = sd[f"features.{li}.weight"].numpy()  # [out,in,kh,kw]
+        b = sd[f"features.{li}.bias"].numpy()
+        params[f"conv{i}"] = {
+            "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),  # [kh,kw,in,out]
+            "bias": jnp.asarray(b),
+        }
+    return {"params": params}
 
 
 VGG_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)

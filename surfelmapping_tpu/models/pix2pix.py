@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .losses import (
     VGG19Features,
     feature_matching_loss,
+    load_vgg19_weights,
     multiscale_hinge_d,
     multiscale_hinge_g,
     vgg_loss,
@@ -53,7 +54,10 @@ class SpadeConfig:
     use_vgg: bool = True
     num_d: int = 2
     n_layers_d: int = 4
-    axis_name: str | None = None  # set to "data" under a mesh
+    niter: int = 100        # epochs at constant lr (ref train_options.py)
+    niter_decay: int = 100  # epochs of linear decay to zero
+    axis_name: str | None = None  # only for pmap/shard_map callers; under
+    # sharded jit (spade_train.py) batch stats/grads are already global
 
 
 @jax.tree_util.register_dataclass
@@ -84,9 +88,47 @@ class SpadeTrainer:
             input_nc=cfg.label_nc + 3,
         )
         self.vgg = VGG19Features()
-        self.g_tx = optax.adam(cfg.lr / 2.0, b1=cfg.beta1, b2=cfg.beta2)
-        self.d_tx = optax.adam(cfg.lr * 2.0, b1=cfg.beta1, b2=cfg.beta2)
+        # inject_hyperparams exposes learning_rate as optimizer STATE so the
+        # per-epoch linear decay (update_learning_rate) can adjust it without
+        # rebuilding the jitted steps
+        self.g_tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.lr / 2.0, b1=cfg.beta1, b2=cfg.beta2
+        )
+        self.d_tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.lr * 2.0, b1=cfg.beta1, b2=cfg.beta2
+        )
         self.seed = seed
+        self.old_lr = cfg.lr
+
+    def update_learning_rate(self, state: "TrainState", epoch: int) -> "TrainState":
+        """Linear LR decay to zero over the last ``niter_decay`` epochs
+        (reference SPADE/trainers/pix2pix_trainer.py:66-86): constant for the
+        first ``niter`` epochs, then old_lr - lr/niter_decay each epoch; TTUR
+        split (G lr/2, D lr*2) is reapplied to the decayed base rate."""
+        cfg = self.cfg
+        if epoch > cfg.niter:
+            new_lr = max(0.0, self.old_lr - cfg.lr / cfg.niter_decay)
+        else:
+            new_lr = self.old_lr
+        if new_lr != self.old_lr:
+            g_opt = state.g_opt._replace(hyperparams={
+                **state.g_opt.hyperparams,
+                "learning_rate": jnp.asarray(new_lr / 2.0, jnp.float32),
+            })
+            d_opt = state.d_opt._replace(hyperparams={
+                **state.d_opt.hyperparams,
+                "learning_rate": jnp.asarray(new_lr * 2.0, jnp.float32),
+            })
+            state = dataclasses.replace(state, g_opt=g_opt, d_opt=d_opt)
+            self.old_lr = new_lr
+        return state
+
+    def current_lrs(self, state: "TrainState") -> tuple[float, float]:
+        """(G lr, D lr) as floats — observability for the train loop."""
+        return (
+            float(state.g_opt.hyperparams["learning_rate"]),
+            float(state.d_opt.hyperparams["learning_rate"]),
+        )
 
     # -- init ---------------------------------------------------------------
 
@@ -97,9 +139,13 @@ class SpadeTrainer:
         dvars = self.disc.init(
             kd, jnp.concatenate([sample_label, sample_image], axis=-1), train=False
         )
-        vgg_params = (
-            self.vgg.init(kv, sample_image) if self.cfg.use_vgg else None
-        )
+        vgg_params = None
+        if self.cfg.use_vgg:
+            # prefer the pretrained torchvision checkpoint (reference
+            # loss.py VGGLoss); fall back to fixed random features
+            vgg_params = load_vgg19_weights()
+            if vgg_params is None:
+                vgg_params = self.vgg.init(kv, sample_image)
         g_params = gvars["params"]
         return TrainState(
             g_params=g_params,

@@ -174,22 +174,6 @@ def _active_block_mask(
     return jnp.any(act, axis=1)
 
 
-def count_active_blocks(
-    smap: SurfelMap,
-    T_inv: jax.Array,
-    cam: CameraIntrinsics,
-    params: PipelineParams,
-    block_size: int,
-) -> jax.Array:
-    """i32 number of active blocks for this view — the pipeline dispatches
-    this as a tiny independent probe per frame so the host can detect (with
-    one frame of lag and zero pipeline stall) that a fusion step ran with a
-    truncated working set, and replay it exactly (pipeline.py)."""
-    return jnp.sum(
-        _active_block_mask(smap, T_inv, cam, params, block_size).astype(jnp.int32)
-    )
-
-
 def plan_active_blocks(
     smap: SurfelMap,
     T_inv: jax.Array,
@@ -204,8 +188,9 @@ def plan_active_blocks(
     the invalid filler; n_active = total active block count — the host
     compares it to num_blocks to grow/shrink the budget at the next sync).
     On overflow the highest-id (most recently appended, most likely relevant)
-    blocks are kept — and the host's per-frame probe (count_active_blocks)
-    detects the truncation and replays the frame with a grown budget.
+    blocks are kept — and the host's batched window verify
+    (pipeline.SurfelMapper._repair_overflow) detects the truncation from the
+    per-frame n_active stats and replays the window with a grown budget.
     """
     G = smap.capacity // block_size
     blk_act = _active_block_mask(smap, T_inv, cam, params, block_size)

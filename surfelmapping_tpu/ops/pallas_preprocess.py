@@ -23,8 +23,9 @@ Shapes/looping are deliberate TPU choices:
 Numerical parity: identical mask logic to ops/preprocess.py (the
 reference's inb / same-class / range gates, the col >= stereo_border
 neighbour gate of depth_smooth.frag:51, and the sigma quirk documented in
-PipelineParams.smooth_sig_pix).  tests/test_preprocess.py asserts equality
-against the jnp path on the interpret backend.
+PipelineParams.smooth_sig_pix).  tests/test_pallas_preprocess.py asserts
+equality against the jnp path on the interpret backend (odd heights, stereo
+border, class boundaries, degenerate frames).
 """
 
 from __future__ import annotations

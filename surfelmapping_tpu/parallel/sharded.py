@@ -48,9 +48,7 @@ from ..ops.active import (
     gather_active,
     index_candidates,
     index_resolve,
-    map_from_table,
     plan_active_blocks,
-    table_from_map,
     writeback_active,
 )
 from ..ops.preprocess import preprocess_frame, remove_movings
@@ -145,6 +143,8 @@ def _shard_step_body(
     H, W = cam.height * fa, cam.width * fa
     num_pix = H * W
     S = state.px.shape[0]  # local slots (shard_map gives the per-device view)
+    B = block_size
+    G = S // B
     me = jax.lax.axis_index(AXIS).astype(jnp.int32)
     gid0 = me * S
     T_inv = invert_se3(pose)
@@ -152,9 +152,14 @@ def _shard_step_body(
     local = SurfelMap(
         **{k: getattr(state, k) for k in _COLS}, count=state.counts[0]
     )
-    live_before = jnp.sum(local.conf > 0.0)
 
     # ---- 1. local active-block plan + gather (same ops as single chip) ---
+    # Frustum residency per shard: round-robin dealing keeps each shard's
+    # append stream TEMPORALLY coherent (a block spans ~n_devices frames of
+    # one trajectory arc), so a shard's in-frustum working set concentrates
+    # in few blocks exactly like the single-chip engine — per-device work is
+    # proportional to its 1/D share of the in-frustum surfels, not to its
+    # capacity (tools/sharded_work.py measures this).
     blk, n_active = plan_active_blocks(
         local, T_inv, cam, p, active_blocks, block_size
     )
@@ -167,7 +172,6 @@ def _shard_step_body(
         fuse_thresh=p.fuse_thresh_factor, is_clean=False,
         gid_offset=gid0,
     )
-    local = writeback_active(local, at, block_size)
 
     # ---- 3. distributed index map (collectives #1 and #2) ----------------
     zkey, fpix = index_candidates(at, T_inv, time, cam, p, gid_offset=gid0)
@@ -182,12 +186,24 @@ def _shard_step_body(
     id_flat = jax.lax.pmin(id_raw, AXIS)
     id_flat = jnp.where(id_flat == INT32_MAX, -1, id_flat)
 
-    # ---- 4. association against the LOCAL slot range ---------------------
+    # ---- 4. association against the gathered ACTIVE table ----------------
+    # Winning global ids that live on this shard translate to active-table
+    # slots through the inverse block map, so the per-pixel gathers stay at
+    # active-table scale — NOT O(local capacity) (round-3 weakness: the old
+    # table_from_map path re-inherited the O(capacity) costs the active
+    # engine was built to kill).
     mine = (id_flat >= gid0) & (id_flat < gid0 + S)
-    local_idx_img = jnp.where(mine, id_flat - gid0, -1).reshape(H, W)
-    pseudo = table_from_map(local)
+    g_local = jnp.where(mine, id_flat - gid0, 0)
+    blk_inv = jnp.full((G + 1,), -1, jnp.int32).at[blk].set(
+        jnp.arange(blk.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    bpos = blk_inv[g_local // B]
+    aslot = bpos * B + g_local % B
+    # a winner is always inside a gathered block (it was a candidate), but
+    # guard anyway: unresolvable ids behave as empty pixels
+    local_idx_img = jnp.where(mine & (bpos >= 0), aslot, -1).reshape(H, W)
     assoc = associate_active(
-        depth_m, rgb, semantic, local_idx_img, pseudo, pose, T_inv, time, cam, p
+        depth_m, rgb, semantic, local_idx_img, at, pose, T_inv, time, cam, p
     )
 
     # ---- 5. global matched resolution (collective #3) --------------------
@@ -201,8 +217,9 @@ def _shard_step_body(
     )
     assoc = dataclasses.replace(assoc, mark=mark)
 
-    # ---- 6. local fuse + round-robin append ------------------------------
-    local = map_from_table(fuse_active(pseudo, assoc), local.count)
+    # ---- 6. fuse into the table, one block writeback, round-robin append -
+    at = fuse_active(at, assoc)
+    local = writeback_active(local, at, block_size)
     local, dropped_local = append_round_robin(local, assoc, n_devices, me)
 
     live_after = jnp.sum(local.conf > 0.0)
@@ -216,6 +233,11 @@ def _shard_step_body(
         "merged": jax.lax.psum(jnp.sum(matched_mine), AXIS),
         "dropped": jax.lax.psum(dropped_local, AXIS),
         "active_blocks": jax.lax.pmax(n_active, AXIS),
+        # per-device working set + tail, for overflow repair, growth and the
+        # work-proportionality measurement
+        "active_per_dev": jax.lax.all_gather(n_active, AXIS),
+        "tail_per_dev": jax.lax.all_gather(local.count, AXIS),
+        "live_per_dev": jax.lax.all_gather(live_after, AXIS),
     }
     return new_state, stats
 
@@ -271,6 +293,264 @@ def make_sharded_step(
         return new_state, depth_f, stats
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Per-shard tombstone compaction + host-side capacity growth
+# ---------------------------------------------------------------------------
+
+def _compact_body(state: ShardedMapState) -> ShardedMapState:
+    """Order-preserving per-shard compaction: pack live (conf > 0) rows of
+    the shard prefix to the front, zero the rest (the per-shard form of
+    ops/fusion.py:compact — same relative order, so the global surfel SET
+    and per-shard streams match a never-tombstoned run)."""
+    S = state.px.shape[0]
+    count = state.counts[0]
+    lattice = jnp.arange(S, dtype=jnp.int32)
+    keep = (state.conf > 0.0) & (lattice < count)
+    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.where(keep, dest, S)
+    cols = {
+        k: jnp.zeros_like(getattr(state, k)).at[idx].set(
+            getattr(state, k), mode="drop"
+        )
+        for k in _COLS
+    }
+    return ShardedMapState(**cols, counts=jnp.sum(keep.astype(jnp.int32))[None])
+
+
+def make_compact_step(mesh: Mesh):
+    """Jitted on-device compaction of every shard (no host transfer)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    sh = state_sharding(mesh)
+    spec_state = jax.tree.map(lambda s: s.spec, sh)
+    return jax.jit(
+        shard_map(
+            _compact_body, mesh=mesh,
+            in_specs=(spec_state,), out_specs=spec_state,
+            check_vma=False,
+        )
+    )
+
+
+def resize_sharded(
+    state: ShardedMapState,
+    new_capacity: int,
+    n_devices: int,
+    mesh: Mesh | None = None,
+) -> ShardedMapState:
+    """Grow every shard's slot range to new_capacity/D, preserving each
+    shard's live prefix (host-side; re-jit per capacity bucket, exactly like
+    surfels.resize_map on one chip)."""
+    cap = state.px.shape[0]
+    if new_capacity % n_devices:
+        raise ValueError("capacity must divide evenly across devices")
+    S_old, S_new = cap // n_devices, new_capacity // n_devices
+    if S_new < S_old:
+        raise ValueError("sharded map never shrinks")
+    cols = {}
+    for k in _COLS:
+        a = np.asarray(getattr(state, k)).reshape(n_devices, S_old)
+        b = np.zeros((n_devices, S_new), a.dtype)
+        b[:, :S_old] = a
+        cols[k] = jnp.asarray(b.reshape(-1))
+    out = ShardedMapState(**cols, counts=state.counts)
+    if mesh is not None:
+        out = jax.device_put(out, state_sharding(mesh))
+    return out
+
+
+class ShardedMapper:
+    """Host driver for the block-sharded engine with the single-chip
+    pipeline's robustness guarantees (pipeline.py:24-26): pre-growth so the
+    append path can never drop a surfel, batched overflow verification with
+    window replay for active-budget truncation, and deferred tombstone
+    reclamation via on-device compaction.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        cam: CameraIntrinsics,
+        params: PipelineParams | None = None,
+        capacity: int = 1 << 20,
+        active_blocks: int = 64,
+        block_size: int = 1024,
+        sync_every: int = 8,
+        compact_dead_frac: float = 0.25,
+    ):
+        self.mesh = mesh
+        self.cam = cam
+        self.params = params or PipelineParams()
+        self.n_devices = mesh.devices.size
+        self.block_size = block_size
+        self.active_blocks = active_blocks
+        self.sync_every = max(1, min(sync_every, 128))
+        self.compact_dead_frac = compact_dead_frac
+        cap = self._round_cap(capacity)
+        self.state = jax.device_put(
+            empty_sharded(cap, self.n_devices), state_sharding(mesh)
+        )
+        self._steps: dict[tuple[int, int], object] = {}
+        self._compactor = make_compact_step(mesh)
+        self.last_depth = jnp.zeros((cam.height, cam.width), jnp.float32)
+        self.last_pose = jnp.eye(4, dtype=jnp.float32)
+        self.tick = 0
+        self.ref_frame_set = False
+        self._window: list[tuple[tuple, int]] = []
+        self._chk = None
+        self._pending_stats: list[dict] = []
+        self._since_sync = 0
+        self._tails = np.zeros(self.n_devices, np.int64)
+
+    # -- capacity bookkeeping ---------------------------------------------
+
+    def _round_cap(self, cap: int) -> int:
+        quantum = self.n_devices * self.block_size
+        return -(-cap // quantum) * quantum
+
+    @property
+    def capacity(self) -> int:
+        return self.state.px.shape[0]
+
+    @property
+    def shard_slots(self) -> int:
+        return self.capacity // self.n_devices
+
+    @property
+    def _eff_blocks(self) -> int:
+        return min(self.active_blocks, self.shard_slots // self.block_size)
+
+    def _step_fn(self):
+        key = (self.capacity, self._eff_blocks)
+        if key not in self._steps:
+            self._steps[key] = make_sharded_step(
+                self.mesh, self.cam, self.params, self.n_devices,
+                active_blocks=self._eff_blocks, block_size=self.block_size,
+            )
+        return self._steps[key]
+
+    def _maybe_grow(self, frames_ahead: int) -> None:
+        """Pre-grow so the worst-case ingest of the unverified window fits in
+        EVERY shard (round-robin dealing bounds a shard's share of one frame
+        at ceil(Vp / D) + 1)."""
+        Vp = (self.cam.height * self.cam.width) // 2
+        per_frame = -(-Vp // self.n_devices) + 1
+        need = int(self._tails.max()) + frames_ahead * per_frame
+        if need <= self.shard_slots:
+            return
+        self._sync()
+        need = int(self._tails.max()) + frames_ahead * per_frame
+        new_slots = self.shard_slots
+        while need > new_slots:
+            new_slots *= 2
+        if new_slots > self.shard_slots:
+            self.state = resize_sharded(
+                self.state, new_slots * self.n_devices, self.n_devices,
+                self.mesh,
+            )
+
+    # -- sync / verify / repair -------------------------------------------
+
+    def _sync(self) -> None:
+        """Drain pending stats; verify the window (budget truncation + drops)
+        and repair by replay with a grown budget, exactly like the
+        single-chip _repair_overflow."""
+        for _ in range(32):
+            if not self._window:
+                break
+            peaks = [int(jnp.max(s["active_per_dev"])) for s in self._pending_stats]
+            effs = [eff for (_, eff) in self._window]
+            if all(a <= e for a, e in zip(peaks, effs)):
+                break
+            peak = max(peaks)
+            while self.active_blocks < peak:
+                self.active_blocks *= 2
+            state = self._chk
+            for i, (inp, _) in enumerate(self._window):
+                eff = self._eff_blocks
+                step = self._step_fn()  # same shapes as the checkpoint
+                state, last_depth, stats = step(state, *inp)
+                self._pending_stats[i] = stats
+                self._window[i] = (inp, eff)
+            self.state = state
+            self.last_depth = last_depth
+        else:
+            raise RuntimeError("sharded budget repair did not converge (bug)")
+
+        dropped = sum(int(s["dropped"]) for s in self._pending_stats)
+        if dropped:
+            raise RuntimeError(
+                f"sharded append dropped {dropped} surfels — pre-growth "
+                "margin violated (bug)"
+            )
+        if self._pending_stats:
+            last = self._pending_stats[-1]
+            self._tails = np.asarray(last["tail_per_dev"], np.int64)
+            self._live = np.asarray(last["live_per_dev"], np.int64)
+            dead = int(self._tails.sum() - self._live.sum())
+            if dead > self.compact_dead_frac * self.capacity:
+                self.state = self._compactor(self.state)
+                self._tails = np.asarray(self.state.counts, np.int64)
+        self._pending_stats = []
+        self._window = []
+        self._chk = None
+        self._since_sync = 0
+
+    @property
+    def count(self) -> int:
+        self._sync()
+        return int(jnp.sum(self.state.conf > 0.0))
+
+    def smap(self) -> SurfelMap:
+        """Gathered, compacted single-map view (checkpoint / render)."""
+        self._sync()
+        return gather_sharded_map(self.state, self.n_devices)
+
+    # -- frame ingestion ---------------------------------------------------
+
+    def process_frame(self, rgb, depth, semantic, pose) -> dict:
+        """Same frame-0 seeding contract as the single-chip SurfelMapper."""
+        rgb_np = rgb if isinstance(rgb, jax.Array) else np.asarray(rgb)
+        if jnp.issubdtype(rgb_np.dtype, jnp.integer):
+            rgb = jnp.asarray(rgb_np).astype(jnp.float32) / 255.0
+        else:
+            rgb = jnp.asarray(rgb_np, jnp.float32)
+        depth = jnp.asarray(np.asarray(depth).astype(np.uint16))
+        semantic = jnp.asarray(np.asarray(semantic)).astype(jnp.int32)
+        pose = jnp.asarray(np.asarray(pose), jnp.float32)
+
+        if not self.ref_frame_set:
+            self.last_depth = preprocess_frame(
+                depth, semantic, self.cam, self.params
+            )
+            self.last_pose = pose
+            self.ref_frame_set = True
+            self.tick += 1
+            return {"first_frame": True}
+
+        self._maybe_grow(self.sync_every - self._since_sync + 1)
+        if not self._window:
+            self._chk = self.state
+        t = jnp.float32(self.tick)
+        inp = (depth, rgb, semantic, pose, self.last_depth, self.last_pose, t)
+        step = self._step_fn()
+        self.state, self.last_depth, stats = step(self.state, *inp)
+        self._window.append((inp, self._eff_blocks))
+        self._pending_stats.append(stats)
+        self.last_pose = pose
+        self.tick += 1
+        # host-side worst-case tail advance (true tails read at sync)
+        Vp = (self.cam.height * self.cam.width) // 2
+        self._tails = self._tails + (-(-Vp // self.n_devices) + 1)
+        self._since_sync += 1
+        if self._since_sync >= self.sync_every:
+            self._sync()
+        return stats
 
 
 # ---------------------------------------------------------------------------

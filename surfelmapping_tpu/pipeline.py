@@ -198,10 +198,17 @@ def _gather_active_for(
     block_size: int,
 ):
     """Plan + gather the active table for an arbitrary camera pose (the
-    fusion step's working-set machinery exposed to ICP / windowed BA)."""
+    fusion step's working-set machinery exposed to ICP / windowed BA).
+
+    Also returns the TRUE active-block count so the caller can detect a
+    truncated gather (n_active > active_blocks) and re-gather with a grown
+    budget — pose estimates from a truncated table would otherwise never be
+    repaired (unlike fusion steps, which _repair_overflow replays)."""
     T_inv = invert_se3(pose)
-    blk, _ = plan_active_blocks(smap, T_inv, cam, params, active_blocks, block_size)
-    return gather_active(smap, blk, block_size)
+    blk, n_active = plan_active_blocks(
+        smap, T_inv, cam, params, active_blocks, block_size
+    )
+    return gather_active(smap, blk, block_size), n_active
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +244,12 @@ class SurfelMapper:
         # ingest (H*W/2 per frame) for the frames in between, so the XLA
         # stream never stalls on the host.
         # clamp: the buffer pre-grows by sync_every * H*W/2 worst-case slots,
-        # so an unbounded value would balloon capacity
+        # so an unbounded value would balloon capacity.  Memory note: the
+        # replay window (_repair_overflow) also RETAINS every frame's staged
+        # device inputs (f32 rgb + depth + semantic + prev_depth, ~10 MB per
+        # KITTI frame) plus one map snapshot until the next sync — raising
+        # sync_every trades host-sync stalls for up to sync_every x 10 MB of
+        # HBM held by the window.
         self.sync_every = max(1, min(sync_every, 128))
         self.reset_all()
 
@@ -420,13 +432,25 @@ class SurfelMapper:
     def active_table(self, pose):
         """Gather the in-frustum active table for an external consumer (ICP /
         windowed BA) at the same O(in-view) cost the fusion step pays — NOT
-        an O(capacity) full-map view.  ``pose`` is camera-to-world."""
+        an O(capacity) full-map view.  ``pose`` is camera-to-world.
+
+        Never truncated: if the pose's true active-block count exceeds the
+        current budget, the budget grows and the gather repeats (one extra
+        host read per retry — acceptable here, active_table is a sync point
+        already via _repair_overflow)."""
         self._repair_overflow()
         pose = jnp.asarray(np.asarray(pose), jnp.float32)
-        return _gather_active_for(
-            self._smap, pose, self.cam, self.params,
-            self._effective_active_blocks, self.map_config.block_size,
-        )
+        while True:
+            eff = self._effective_active_blocks
+            at, n_active = _gather_active_for(
+                self._smap, pose, self.cam, self.params,
+                eff, self.map_config.block_size,
+            )
+            n = int(n_active)
+            if n <= eff or eff >= self._smap.capacity // self.map_config.block_size:
+                return at
+            while self.active_blocks < n:
+                self.active_blocks *= 2
 
     # -- frame ingestion ----------------------------------------------------
 
@@ -476,7 +500,15 @@ class SurfelMapper:
         src/SurfelMapping.cpp:115-251).  ``pose`` is the ground-truth (or
         ICP-refined) camera-to-world 4x4.  Returns per-frame stats."""
         sw = self.stopwatch
+        # record the pose for history BEFORE staging: np.asarray on an
+        # already-staged device pose is a blocking device->host read that
+        # drains the whole deferred-dispatch queue every frame (measured:
+        # the chained step costs ~84 ms but the frame loop paid ~190 ms —
+        # this sync was most of the difference)
+        pose_host = pose if isinstance(pose, np.ndarray) else None
         rgb, depth, semantic, pose = self._to_device(rgb, depth, semantic, pose)
+        if pose_host is None:
+            pose_host = pose  # keep the device array; consumers convert lazily
 
         if not self.ref_frame_set:
             with sw.time("Preprocess"):
@@ -485,7 +517,7 @@ class SurfelMapper:
                 )
             self.last_pose = pose
             self.ref_frame_set = True
-            self.history_poses.append(np.asarray(pose))
+            self.history_poses.append(pose_host)
             self.tick += 1
             self.last_stats = {"count": self.count, "first_frame": True}
             return self.last_stats
@@ -536,7 +568,7 @@ class SurfelMapper:
 
         self.last_depth = filtered
         self.last_pose = pose
-        self.history_poses.append(np.asarray(pose))
+        self.history_poses.append(pose_host)
         self.tick += 1
         self.last_stats = stats
         return stats

@@ -168,9 +168,10 @@ def test_capacity_growth_replays_frame():
 
 def test_active_budget_overflow_is_replayed_exactly():
     """A too-small active-block budget must never silently truncate a frame's
-    working set: the per-frame probe detects the overflow one frame later and
-    replays the step with a grown budget (pipeline._resolve_probe), so the
-    final map is identical to a run that never overflowed."""
+    working set: the batched window verify (pipeline._repair_overflow) reads
+    each frame's true active count at the next sync and replays the window
+    with a grown budget, so the final map is identical to a run that never
+    overflowed."""
     cam = tiny_cam()
     params = PipelineParams(fuse_thresh_factor=0.05, stereo_border=0.0)
     scene = SyntheticScene(cam, step=0.4)

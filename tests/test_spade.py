@@ -71,3 +71,131 @@ def test_postprocess_composites_holes():
     out = postprocess_composite(rendered, generated, semantic)
     assert (out[:2] == 200).all()  # holes filled from GAN
     assert (out[2:] == 10).all()   # rendered kept
+
+
+def test_linear_lr_decay_schedule(tiny_trainer):
+    """Reference decay (pix2pix_trainer.py:66-86): constant through epoch
+    niter, then linear to zero at niter+niter_decay; TTUR split G lr/2,
+    D lr*2 maintained throughout."""
+    cfg = SpadeConfig(
+        ngf=8, ndf=8, crop_size=64, use_vgg=False, num_d=1, n_layers_d=2,
+        lr=2e-4, niter=3, niter_decay=4,
+    )
+    tr = SpadeTrainer(cfg, seed=0)
+    label = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    state = tr.init_state(label, label)
+
+    lrs = []
+    for epoch in range(1, cfg.niter + cfg.niter_decay + 1):
+        state = tr.update_learning_rate(state, epoch + 1)
+        lrs.append(tr.current_lrs(state))
+    g_lrs = [g for g, _ in lrs]
+    d_lrs = [d for _, d in lrs]
+    # constant until niter (updates for epochs 2..niter keep base lr)
+    np.testing.assert_allclose(g_lrs[: cfg.niter - 1], cfg.lr / 2, rtol=1e-6)
+    # linear decay afterwards, clamped at zero (the extra final update is a
+    # no-op)
+    expect = [
+        cfg.lr * max(0.0, 1 - (i + 1) / cfg.niter_decay)
+        for i in range(len(g_lrs) - (cfg.niter - 1))
+    ]
+    np.testing.assert_allclose(g_lrs[cfg.niter - 1 :], [e / 2 for e in expect], atol=1e-10)
+    np.testing.assert_allclose(d_lrs[cfg.niter - 1 :], [e * 2 for e in expect], atol=1e-10)
+    assert abs(g_lrs[-1]) < 1e-12
+
+
+def test_data_parallel_sharded_jit_matches_single_device():
+    """The DataParallel+SyncBN analogue: sharding the batch over an 8-device
+    mesh and jitting must produce the same step as one device (global batch
+    stats under jit ARE sync-BN)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from surfelmapping_tpu.models.pix2pix import shard_batch
+
+    cfg = SpadeConfig(
+        ngf=8, ndf=8, crop_size=32, use_vgg=False, num_d=1, n_layers_d=2
+    )
+    tr = SpadeTrainer(cfg, seed=0)
+    rng = np.random.default_rng(2)
+    label = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)), jnp.float32)
+    real = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)), jnp.float32)
+    state = tr.init_state(label, real)
+
+    # single-device reference step
+    s1, dlogs1 = tr.d_step(state, label, real)
+    s1, glogs1 = tr.g_step(s1, label, real)
+
+    # sharded: batch split over the data axis, params replicated
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    rep = jax.device_put(state, NamedSharding(mesh, P()))
+    slab, sreal = shard_batch(mesh, (label, real))
+    s8, dlogs8 = tr.d_step(rep, slab, sreal)
+    s8, glogs8 = tr.g_step(s8, slab, sreal)
+
+    assert float(jnp.abs(dlogs1["d_total"] - dlogs8["d_total"])) < 1e-4
+    assert float(jnp.abs(glogs1["g_total"] - glogs8["g_total"])) < 1e-4
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s8.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_vgg19_npz_weight_loading(tmp_path):
+    """load_vgg19_weights restores an npz checkpoint into params usable by
+    VGG19Features.apply (the pretrained-loss path, ref loss.py:15)."""
+    from surfelmapping_tpu.models.losses import VGG19Features, load_vgg19_weights
+
+    vgg = VGG19Features()
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = vgg.init(jax.random.PRNGKey(0), x)
+
+    path = tmp_path / "vgg19.npz"
+    flat = {}
+    for i in range(16):
+        p = params["params"][f"conv{i}"]
+        flat[f"conv{i}_kernel"] = np.asarray(p["kernel"])
+        flat[f"conv{i}_bias"] = np.asarray(p["bias"])
+    np.savez(path, **flat)
+
+    loaded = load_vgg19_weights(str(path))
+    assert loaded is not None
+    feats_a = vgg.apply(params, x)
+    feats_b = vgg.apply(loaded, x)
+    for a, b in zip(feats_a, feats_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert load_vgg19_weights(str(tmp_path / "missing.pth")) is None
+
+
+def test_single_render_dataset_and_skip_list(tmp_path):
+    from PIL import Image
+
+    from surfelmapping_tpu.models.data import (
+        PairedRenderDataset,
+        SingleRenderDataset,
+        in_skip_ranges,
+    )
+
+    lab_dir = tmp_path / "label"
+    img_dir = tmp_path / "image"
+    lab_dir.mkdir()
+    img_dir.mkdir()
+    for fid in (10, 60, 70, 200):
+        arr = Image.fromarray(np.full((40, 130, 3), fid, np.uint8))
+        arr.save(lab_dir / f"{fid:06d}.png")
+        arr.save(img_dir / f"{fid:06d}.png")
+
+    ranges = ((0, 56), (69, 134))
+    assert in_skip_ranges("000010.png", ranges)
+    assert not in_skip_ranges("000060.png", ranges)
+
+    ds = PairedRenderDataset(
+        str(lab_dir), str(img_dir), crop_size=32, load_size=36,
+        skip_ranges=ranges,
+    )
+    assert sorted(ds.names) == ["000060.png", "000200.png"]
+
+    sd = SingleRenderDataset(
+        str(lab_dir), crop_size=130, aspect_ratio=3.25, start_frame_id=65
+    )
+    assert sorted(sd.names) == ["000070.png", "000200.png"]
+    name, arr = next(iter(sd))
+    assert arr.shape == (40, 130, 3)
+    assert arr.dtype == np.float32
