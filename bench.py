@@ -50,10 +50,14 @@ def main() -> None:
     params = PipelineParams()
     # capacity and active budget pre-sized so no growth re-jit lands inside a
     # timed window (this backend pays a large one-time cost per executable)
+    # active budget pre-sized to the sequence's steady working set so no
+    # pow2 bucket re-jit (a fresh XLA compile through the tunnel) lands
+    # inside a timed window
     mapper = SurfelMapper(
         cam,
         params,
-        MapConfig(capacity=1 << 23),
+        MapConfig(capacity=1 << 23, active_blocks=512,
+                  freeze_active_budget=True),
         sync_every=16,
     )
     scene = SyntheticScene(cam, step=0.8)

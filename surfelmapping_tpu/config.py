@@ -137,6 +137,11 @@ class MapConfig:
     block_size: int = 2048
     active_blocks: int = 256
     active_watermark: float = 0.75  # grow active_blocks past this occupancy
+    # Pin the budget at ``active_blocks`` (no auto grow/shrink tuning; the
+    # correctness-critical overflow repair still grows it).  Each pow2
+    # budget bucket is its own XLA executable — benchmarks pre-size and
+    # freeze so no compile lands inside a timed window.
+    freeze_active_budget: bool = False
     # Deferred removal: conflict tombstones (conf <= 0) are reclaimed by a
     # full compaction only when they exceed this fraction of capacity (and at
     # checkpoint/clean boundaries) — per-frame compaction is what made round

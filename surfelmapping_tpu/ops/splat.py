@@ -11,6 +11,24 @@ footprint around the projected surfel center, the exact intersection of the
 pixel ray with the splat plane and applies the same inside-disc test.  The
 z-buffer is the same two-pass scatter-argmin used by the index map.
 
+Cost model (round-4 rework): the naive form paid
+(2R+1)^2 x 2 scatter passes over the FULL map capacity and kept all per-
+offset hit tensors alive (~2 GB at a 4 M map).  Now:
+
+  * :func:`cull_for_render` gathers only the in-frustum active blocks
+    (ops/active.py machinery) into a compact working map first — per-view
+    cost scales with in-frustum surfels, not capacity;
+  * splats are split into a SMALL bucket (projected extent fits a
+    (2*small_r+1)^2 window — the vast majority: the radius model
+    surfels.glsl:19-32 bounds the re-view extent near 2*sqrt2 px at the
+    mapping focal length, and most in-frustum surfels are seen from farther
+    than they were created) processed in place, and a LARGE bucket packed
+    into a capacity/8 side table that alone pays the full footprint window;
+    large-bucket overflow falls back to the small window (cropped splat,
+    counted — never silently dropped);
+  * pass 2 recomputes the per-offset intersections instead of retaining
+    them (FLOPs are free next to the HBM the stored hits cost).
+
 Geometry reproduced from draw_image_adaptive.geom:
   * surfels with camera z > 5 m render as view-aligned discs of radius
     r*sqrt2 half-diagonal (lines 45-50);
@@ -30,6 +48,9 @@ All per-surfel math is planar (component columns) — see surfels.py for why
 """
 
 from __future__ import annotations
+
+import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -79,12 +100,69 @@ def _splat_frames(px, py, pz, nx, ny, nz, radius):
     return (Xx, Xy, Xz), (Yx, Yy, Yz), (pnx, pny, pnz)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cam", "num_blocks", "block_size", "max_depth", "margin")
+)
+def cull_for_render(
+    smap: SurfelMap,
+    view: jax.Array,
+    cam: CameraIntrinsics,
+    num_blocks: int,
+    block_size: int = 2048,
+    max_depth: float = 200.0,
+    margin: int = 8,
+):
+    """Gather the surfel blocks visible from ``view`` into a compact map.
+
+    A surfel can only write pixels within ``margin`` px of its projected
+    center (the splat window crops there), so blocks whose surfels all
+    project outside the padded image — or outside (1, max_depth) — can never
+    contribute; the per-view render then costs O(in-frustum), not
+    O(capacity).  Returns (culled_map, global_ids i32[A], n_active blocks);
+    if n_active > num_blocks the FARTHEST blocks were dropped (the caller
+    re-culls with a grown budget — load_map.py does)."""
+    from .active import gather_active
+
+    T_inv = invert_se3(view)
+    G = smap.capacity // block_size
+    px, py, pz = transform_planar(T_inv, smap.px, smap.py, smap.pz)
+    safe_z = jnp.where(jnp.abs(pz) < 1e-12, 1e-12, pz)
+    u = cam.fx * px / safe_z + cam.cx
+    v = cam.fy * py / safe_z + cam.cy
+    live = smap.conf > 0.0
+    vis = (
+        live
+        & (pz > 1.0)
+        & (pz < max_depth)
+        & (u >= -margin)
+        & (u <= cam.width + margin)
+        & (v >= -margin)
+        & (v <= cam.height + margin)
+    )
+    blk_act = jnp.any(vis.reshape(G, block_size), axis=1)
+    n_active = jnp.sum(blk_act.astype(jnp.int32))
+    ids = jnp.where(blk_act, jnp.arange(G, dtype=jnp.int32), -1)
+    ids = jnp.sort(ids)
+    chosen = ids[-num_blocks:]
+    blk = jnp.where(chosen >= 0, chosen, G)
+    at = gather_active(smap, blk, block_size)
+    culled = SurfelMap(
+        px=at.x, py=at.y, pz=at.z, conf=jnp.where(at.slot_valid, at.conf, 0.0),
+        colorsem=at.colorsem, init_t=at.init_t, last_t=at.last_t,
+        nx=at.nx, ny=at.ny, nz=at.nz, radius=at.radius,
+        count=jnp.int32(at.size),
+    )
+    return culled, at.global_id, n_active
+
+
 def splat_render(
     smap: SurfelMap,
     view: jax.Array,
     cam: CameraIntrinsics,
     max_depth: float = 200.0,
     footprint: int = 5,
+    small_footprint: int = 2,
+    large_frac: int = 8,
 ) -> dict[str, jax.Array]:
     """Render the map from camera-to-world pose ``view``.
 
@@ -93,14 +171,19 @@ def splat_render(
       semantic: i32[H,W]   class+1, 0 = hole (reference convention)
       depth:    f32[H,W]   camera-frame z of the winning splat, 0 = hole
       id:       i32[H,W]   winning surfel id, -1 = hole
+      large_overflow: i32  splats that exceeded the large-bucket budget and
+                           rendered cropped to the small window
 
-    ``footprint`` bounds the per-surfel pixel radius; the reference's splats
-    are <= ~4 px by construction of the radius model (surfels.glsl:19-32)
-    at the mapping camera's focal length.
+    ``footprint`` bounds the per-surfel pixel radius (the large bucket);
+    splats whose projected extent fits ``small_footprint`` (the vast
+    majority) only pay the small window.  Pass ``small_footprint=None`` to
+    force the single-window path (identical output unless the large bucket
+    overflowed; tests assert the equivalence).
     """
     T_inv = invert_se3(view)
     H, W = cam.height, cam.width
     num_pix = H * W
+    N = smap.capacity
 
     px, py, pz = transform_planar(T_inv, smap.px, smap.py, smap.pz)
     nx, ny, nz = normalize_planar(*rotate_planar(T_inv, smap.nx, smap.ny, smap.nz))
@@ -120,44 +203,89 @@ def splat_render(
     pi0 = jnp.floor(uc).astype(jnp.int32)
     pj0 = jnp.floor(vc).astype(jnp.int32)
 
-    R = footprint
-    offsets = [(dj, di) for dj in range(-R, R + 1) for di in range(-R, R + 1)]
+    cols = dict(
+        px=px, py=py, pz=pz, Xx=Xx, Xy=Xy, Xz=Xz, Yx=Yx, Yy=Yy, Yz=Yz,
+        pnx=pnx, pny=pny, pnz=pnz, inv_x2=inv_x2, inv_y2=inv_y2,
+        n_dot_p=n_dot_p, pi0=pi0, pj0=pj0,
+    )
 
-    def offset_hit(dj: int, di: int):
-        qpx = pi0 + di
-        qpy = pj0 + dj
+    def offset_hit(c, ok_base, dj, di):
+        qpx = c["pi0"] + di
+        qpy = c["pj0"] + dj
         # pixel ray through (px+0.5, py+0.5)
         dx = (qpx.astype(jnp.float32) + 0.5 - cam.cx) / cam.fx
         dy = (qpy.astype(jnp.float32) + 0.5 - cam.cy) / cam.fy
-        denom = pnx * dx + pny * dy + pnz
+        denom = c["pnx"] * dx + c["pny"] * dy + c["pnz"]
         denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-        t = n_dot_p / denom
-        qx = t * dx - px
-        qy = t * dy - py
-        qz = t - pz
-        a = (qx * Xx + qy * Xy + qz * Xz) * inv_x2
-        b = (qx * Yx + qy * Yy + qz * Yz) * inv_y2
+        t = c["n_dot_p"] / denom
+        qx = t * dx - c["px"]
+        qy = t * dy - c["py"]
+        qz = t - c["pz"]
+        a = (qx * c["Xx"] + qy * c["Xy"] + qz * c["Xz"]) * c["inv_x2"]
+        b = (qx * c["Yx"] + qy * c["Yy"] + qz * c["Yz"]) * c["inv_y2"]
         inside = (a * a + b * b) <= 0.5
         inb = (qpx >= 0) & (qpx < W) & (qpy >= 0) & (qpy < H)
-        ok = active & inside & inb & (t > 0.0) & (t < max_depth)
+        ok = ok_base & inside & inb & (t > 0.0) & (t < max_depth)
         flat = jnp.where(ok, qpy * W + qpx, num_pix)
         return flat, t, ok
 
-    # pass 1: depth z-buffer
-    depth_buf = jnp.full((num_pix,), INT32_MAX, jnp.int32)
-    hits = []
-    for dj, di in offsets:
-        flat, t, ok = offset_hit(dj, di)
-        key = _depth_key(t, ok)
-        depth_buf = depth_buf.at[flat].min(key, mode="drop")
-        hits.append((flat, key, ok))
+    # ---- bucket split ----------------------------------------------------
+    if small_footprint is None or small_footprint >= footprint:
+        large_overflow_n = jnp.int32(0)
+        buckets = [(cols, active, jnp.arange(N, dtype=jnp.int32), footprint)]
+    else:
+        # conservative projected half-extent in px: the disc's pixel radius
+        # is <= f * |axis| / z with |axis| = rad*sqrt2; +1 covers the
+        # floor()/pixel-center offsets
+        axis_len = jnp.sqrt(
+            jnp.maximum(Xx * Xx + Xy * Xy + Xz * Xz,
+                        Yx * Yx + Yy * Yy + Yz * Yz)
+        )
+        f = max(cam.fx, cam.fy)
+        rd = f * axis_len / jnp.maximum(pz, 1.0)
+        is_small = rd <= (small_footprint - 0.999)
+        is_large = active & ~is_small
+        AL = max(N // large_frac, 256)
+        lpos = jnp.cumsum(is_large.astype(jnp.int32)) - 1
+        n_large = jnp.maximum(lpos[-1] + 1, 0)
+        over = is_large & (lpos >= AL)
+        large_overflow_n = jnp.sum(over.astype(jnp.int32))
+        dest = jnp.where(is_large & ~over, lpos, AL)
+        lids = jnp.full((AL,), -1, jnp.int32).at[dest].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop"
+        )
+        lsafe = jnp.clip(lids, 0, N - 1)
+        lcols = {k: v[lsafe] for k, v in cols.items()}
+        lok = lids >= 0
+        # overflowed larges render cropped through the small window rather
+        # than disappearing
+        small_ok = active & (is_small | over)
+        buckets = [
+            (cols, small_ok, jnp.arange(N, dtype=jnp.int32), small_footprint),
+            (lcols, lok, lsafe, footprint),
+        ]
 
-    # pass 2: winner ids (ties -> smallest id, GL leaves ties to draw order)
-    ids = jnp.arange(smap.capacity, dtype=jnp.int32)
+    # ---- pass 1: depth z-buffer -----------------------------------------
+    depth_buf = jnp.full((num_pix,), INT32_MAX, jnp.int32)
+    for c, okb, ids, R in buckets:
+        for dj in range(-R, R + 1):
+            for di in range(-R, R + 1):
+                flat, t, ok = offset_hit(c, okb, dj, di)
+                depth_buf = depth_buf.at[flat].min(_depth_key(t, ok), mode="drop")
+
+    # ---- pass 2: winner ids (ties -> smallest id; GL leaves ties to draw
+    # order).  Intersections recomputed — cheaper than retaining
+    # (2R+1)^2 hit tensors in HBM.
     id_buf = jnp.full((num_pix,), INT32_MAX, jnp.int32)
-    for flat, key, ok in hits:
-        win = ok & (key == depth_buf[jnp.clip(flat, 0, num_pix - 1)])
-        id_buf = id_buf.at[jnp.where(win, flat, num_pix)].min(ids, mode="drop")
+    for c, okb, ids, R in buckets:
+        for dj in range(-R, R + 1):
+            for di in range(-R, R + 1):
+                flat, t, ok = offset_hit(c, okb, dj, di)
+                key = _depth_key(t, ok)
+                win = ok & (key == depth_buf[jnp.clip(flat, 0, num_pix - 1)])
+                id_buf = id_buf.at[jnp.where(win, flat, num_pix)].min(
+                    ids, mode="drop"
+                )
 
     hole = id_buf == INT32_MAX
     wid = jnp.where(hole, 0, id_buf)
@@ -167,4 +295,40 @@ def splat_render(
     depth_f = jax.lax.bitcast_convert_type(depth_buf, jnp.float32)
     depth_img = jnp.where(hole, 0.0, depth_f).reshape(H, W)
     id_img = jnp.where(hole, -1, id_buf).reshape(H, W)
-    return {"rgb": rgb, "semantic": sem, "depth": depth_img, "id": id_img}
+    return {
+        "rgb": rgb, "semantic": sem, "depth": depth_img, "id": id_img,
+        "large_overflow": large_overflow_n,
+    }
+
+
+def render_view(
+    smap: SurfelMap,
+    view: jax.Array,
+    cam: CameraIntrinsics,
+    max_depth: float = 200.0,
+    footprint: int = 5,
+    small_footprint: int = 2,
+    block_size: int = 2048,
+    start_blocks: int = 256,
+) -> dict[str, jax.Array]:
+    """Cull + render, growing the cull budget until nothing is truncated
+    (host loop; each budget size is one jit executable).  The ``id`` image
+    is translated back to ORIGINAL map slot ids."""
+    budget = min(start_blocks, max(smap.capacity // block_size, 1))
+    G = smap.capacity // block_size
+    while True:
+        culled, gids, n_active = cull_for_render(
+            smap, view, cam, budget, block_size, max_depth,
+            margin=footprint + 2,
+        )
+        if int(n_active) <= budget or budget >= G:
+            break
+        while budget < int(n_active):
+            budget *= 2
+        budget = min(budget, G)
+    out = splat_render(
+        culled, view, cam, max_depth, footprint, small_footprint
+    )
+    idl = out["id"]
+    out["id"] = jnp.where(idl >= 0, gids[jnp.clip(idl, 0, gids.shape[0] - 1)], -1)
+    return out

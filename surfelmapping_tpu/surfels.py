@@ -111,11 +111,18 @@ def map_from_stacked(
 
 
 def empty_map(capacity: int) -> SurfelMap:
-    """Allocate an all-zero map with the given slot capacity."""
-    z = jnp.zeros((capacity,), jnp.float32)
+    """Allocate an all-zero map with the given slot capacity.
+
+    Each column gets its OWN buffer: the fusion step donates the map, and
+    donation rejects the same buffer appearing under two arguments (a shared
+    zeros vector would)."""
+
+    def z():
+        return jnp.zeros((capacity,), jnp.float32)
+
     return SurfelMap(
-        px=z, py=z, pz=z, conf=z, colorsem=z, init_t=z, last_t=z,
-        nx=z, ny=z, nz=z, radius=z,
+        px=z(), py=z(), pz=z(), conf=z(), colorsem=z(), init_t=z(),
+        last_t=z(), nx=z(), ny=z(), nz=z(), radius=z(),
         count=jnp.zeros((), jnp.int32),
     )
 

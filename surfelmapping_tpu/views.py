@@ -104,11 +104,13 @@ def acquire_images(
     os.makedirs(image_dir, exist_ok=True)
     os.makedirs(sem_dir, exist_ok=True)
 
-    render = jax.jit(
-        lambda m, v: splat_render(m, v, cam, footprint=footprint)
-    )
+    # render_view culls to the in-frustum blocks first: per-view cost scales
+    # with visible surfels, not map capacity (ops/splat.py round-4 rework)
+    from .ops.splat import render_view
+
     for i, v in enumerate(views):
-        out = render(smap, jnp.asarray(v, jnp.float32))
+        out = render_view(smap, jnp.asarray(v, jnp.float32), cam,
+                          footprint=footprint)
         rgb = np.asarray(
             jnp.clip(jnp.round(out["rgb"] * 255.0), 0, 255).astype(jnp.uint8)
         )

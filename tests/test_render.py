@@ -93,3 +93,55 @@ def test_render_rgb_colors_match_scene():
         # rendered colors must be within the scene's 8-bit color lattice range
         assert r[hit].min() >= 0.0 and r[hit].max() <= 1.0
         assert (r[hit].sum(-1) > 0).mean() > 0.95
+
+
+def test_bucketed_render_matches_single_window():
+    """The small/large footprint bucketing must not change a single winner
+    (it only re-partitions which window evaluates each splat), and the
+    culled render_view path must reproduce the full-map render exactly."""
+    import jax
+
+    from surfelmapping_tpu.ops.splat import render_view, splat_render
+
+    m, scene, frames = build_small_map(4)
+    rgb, d, s, T = frames[2]
+    T = jnp.asarray(T, jnp.float32)
+    smap = m.smap
+    single = splat_render(smap, T, m.cam, footprint=4, small_footprint=None)
+    bucketed = splat_render(smap, T, m.cam, footprint=4, small_footprint=2)
+    assert int(bucketed["large_overflow"]) == 0
+    for k in ("rgb", "semantic", "depth", "id"):
+        np.testing.assert_array_equal(
+            np.asarray(single[k]), np.asarray(bucketed[k]), err_msg=k
+        )
+
+    culled = render_view(smap, T, m.cam, footprint=4, small_footprint=2,
+                         block_size=256, start_blocks=4)
+    for k in ("rgb", "semantic", "depth", "id"):
+        np.testing.assert_array_equal(
+            np.asarray(single[k]), np.asarray(culled[k]), err_msg=k
+        )
+
+
+def test_render_psnr_parity():
+    """Parity guard (VERDICT r3 #4): rendering the fused map at a mapping
+    pose must reproduce the input frame above a PSNR floor on hit pixels,
+    with substantial coverage — renders can't silently rot."""
+    from surfelmapping_tpu.metrics import psnr
+
+    m, scene, frames = build_small_map(4)
+    rgb, d, s, T = frames[2]
+    out = _render(m.smap, jnp.asarray(T, jnp.float32))
+    rendered = np.asarray(out["rgb"])
+    hits = np.asarray(out["semantic"]) > 0
+    frame = rgb.astype(np.float64) / 255.0
+    # only the near field right of the stereo border is ever ingested
+    # (tiny_cam is 128 px wide with the reference's 80 px border; the
+    # support filter rejects the distant ground) — measure coverage there
+    d_m = d.astype(np.float64) / 1000.0
+    ingestible = (d_m > 1.5) & (d_m < 6.0)
+    ingestible[:, :80] = False
+    hit_frac = float(hits[ingestible].mean())
+    p = psnr(rendered, frame, hits)
+    assert hit_frac > 0.3, f"hit fraction on ingestible region {hit_frac:.3f}"
+    assert p > 20.0, f"PSNR on hits {p:.2f} dB"

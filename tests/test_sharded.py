@@ -106,3 +106,93 @@ def test_shards_balanced():
     assert live.sum() == int(stats["count"])
     if live.sum() >= 8:
         assert live.max() - live.min() <= max(2, live.sum() // 8 // 2)
+
+
+def test_sharded_mapper_long_run_parity_with_removals():
+    """20-frame removal-heavy run through the ShardedMapper driver (growth,
+    window verify, deferred compaction) vs the single-chip engine: identical
+    live count, matching geometry multiset, dropped == 0 throughout — the
+    'no surfel ever dropped' guarantee holds multi-chip."""
+    from surfelmapping_tpu.parallel.sharded import ShardedMapper
+
+    n_frames = 20
+    n_dev = 8
+    cam = tiny_cam(128, 64)
+    # fuse_thresh 0 (reference default): ~half the in-view surfels conflict
+    # out every frame -> exercises tombstones + compaction heavily
+    params = PipelineParams(stereo_border=0.0)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (AXIS,))
+    # deliberately tiny so capacity growth triggers mid-run
+    sm = ShardedMapper(
+        mesh, cam, params, capacity=1 << 13, active_blocks=8,
+        block_size=128, sync_every=4, compact_dead_frac=0.2,
+    )
+    single = SurfelMapper(
+        cam, params, MapConfig(capacity=1 << 16), sync_every=4
+    )
+    scene = SyntheticScene(cam, step=0.6)
+    for i in range(n_frames):
+        rgb, d, s, T = scene.frame(i)
+        sm.process_frame(rgb, d, s, T)
+        single.process_frame(rgb, d, s, T)
+
+    assert sm.count == single.count
+    assert sm.capacity > 1 << 13, "growth never triggered — weak test"
+
+    merged = sm.smap()
+    smap = single.smap
+    a = np.sort(
+        np.round(np.asarray(merged.pos())[: int(merged.count)], 4).view(
+            [("x", "f4"), ("y", "f4"), ("z", "f4")]
+        ),
+        axis=0,
+    )
+    b = np.sort(
+        np.round(np.asarray(smap.pos())[: single.count], 4).view(
+            [("x", "f4"), ("y", "f4"), ("z", "f4")]
+        ),
+        axis=0,
+    )
+    assert a.shape == b.shape
+    match = (a == b).mean()
+    assert match > 0.99, f"only {match:.2%} of surfel positions match"
+
+
+def test_sharded_mapper_budget_overflow_replay():
+    """An under-budgeted ShardedMapper must repair by window replay and end
+    bit-identical to a generously-budgeted run."""
+    from surfelmapping_tpu.parallel.sharded import ShardedMapper
+
+    cam = tiny_cam(128, 64)
+    # merging on -> surfels accumulate, so the per-shard active set outgrows
+    # a 1-block budget within a few frames
+    params = PipelineParams(stereo_border=0.0, fuse_thresh_factor=0.05)
+    n_dev = 4
+
+    def run(active_blocks):
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), (AXIS,))
+        sm = ShardedMapper(
+            mesh, cam, params, capacity=1 << 14, active_blocks=active_blocks,
+            block_size=32, sync_every=8,
+        )
+        scene = SyntheticScene(cam, step=0.5)
+        for i in range(8):
+            rgb, d, s, T = scene.frame(i)
+            sm.process_frame(rgb, d, s, T)
+        sm._sync()
+        return sm
+
+    small = run(1)
+    big = run(64)
+    assert small.active_blocks > 1, "budget never grew — repair did not fire"
+    assert small.count == big.count
+    a = np.asarray(small.state.conf)
+    b = np.asarray(big.state.conf)
+    ca = np.asarray(small.state.counts)
+    cb = np.asarray(big.state.counts)
+    np.testing.assert_array_equal(ca, cb)
+    S = small.state.px.shape[0] // n_dev
+    for d in range(n_dev):
+        np.testing.assert_array_equal(
+            a[d * S : d * S + ca[d]], b[d * S : d * S + cb[d]]
+        )

@@ -68,6 +68,16 @@ def main():
     B = cfg.block_size
     AB = mapper._effective_active_blocks
 
+    def force(*objs):
+        """Sum every array leaf so NOTHING upstream is dead-code-eliminated
+        (round-3 trap: returning one scalar let XLA drop 10 of the 11 column
+        writes and the probe under-reported the frame by ~35 ms)."""
+        tot = jnp.float32(0)
+        for o in objs:
+            for leaf in jax.tree.leaves(o):
+                tot = tot + jnp.sum(leaf).astype(jnp.float32)
+        return tot
+
     def upto(stage: str):
         def fn(c, smap, depth_raw, rgb, sem, pose, last_depth, last_pose, time):
             # chain: the carry scalar contaminates the input so iteration
@@ -75,47 +85,56 @@ def main():
             depth_raw = depth_raw + (c * 0).astype(depth_raw.dtype)
             filtered = preprocess_frame(depth_raw, sem, cam, params)
             if stage == "preprocess":
-                return filtered.sum()
+                return force(filtered)
             T_c2l = compose(invert_se3(last_pose), pose)
             depth_m = remove_movings(filtered, sem, last_depth, T_c2l, cam, params)
             if stage == "movings":
-                return depth_m.sum()
+                return force(filtered, depth_m)
             T_inv = invert_se3(pose)
             blk, n_active = A.plan_active_blocks(smap, T_inv, cam, params, AB, B)
             if stage == "plan":
-                return depth_m.sum() + n_active.astype(jnp.float32)
+                return force(filtered, depth_m, blk, n_active)
             at = A.gather_active(smap, blk, B)
             if stage == "gather":
-                return depth_m.sum() + at.conf.sum()
+                return force(filtered, depth_m, at)
             at, removed = A.conflict_active(
                 at, depth_m, sem, T_inv, cam, params,
                 min_depth=params.near_clip, max_depth=params.far_clip,
                 fuse_thresh=params.fuse_thresh_factor, is_clean=False,
             )
             if stage == "conflict":
-                return depth_m.sum() + at.conf.sum()
+                return force(filtered, depth_m, at, removed)
             idx_img = A.index_active(at, T_inv, time, cam, params)
             if stage == "index":
-                return at.conf.sum() + idx_img.sum().astype(jnp.float32)
+                return force(filtered, depth_m, at, removed, idx_img)
+            if stage == "assoc_cand":
+                # the dense per-pixel candidate half of association only
+                from surfelmapping_tpu.ops.frame_surfels import (
+                    association_candidates,
+                )
+
+                cand = association_candidates(depth_m, rgb, sem, cam, params)
+                cb = [A.checkerboard_flat(x) for x in jax.tree.leaves(cand)]
+                return force(filtered, at, removed, idx_img, cb)
             assoc = A.associate_active(
                 depth_m, rgb, sem, idx_img, at, pose, T_inv, time, cam, params
             )
             if stage == "associate":
-                return at.conf.sum() + assoc.mark.sum().astype(jnp.float32) + assoc.x.sum()
+                return force(filtered, at, removed, assoc)
             at = A.fuse_active(at, assoc)
             if stage == "fuse":
-                return at.conf.sum() + assoc.mark.sum().astype(jnp.float32)
+                return force(filtered, at, removed, assoc)
             smap2 = A.writeback_active(smap, at, B)
             if stage == "writeback":
-                return smap2.conf.sum() + assoc.mark.sum().astype(jnp.float32)
+                return force(filtered, removed, assoc, smap2)
             smap2, dropped = A.append_flat(smap2, assoc)
-            return smap2.conf.sum() + dropped.astype(jnp.float32)
+            return force(filtered, removed, smap2, dropped)
 
         return jax.jit(fn)
 
     stages = [
         "preprocess", "movings", "plan", "gather", "conflict",
-        "index", "associate", "fuse", "writeback", "full",
+        "index", "assoc_cand", "associate", "fuse", "writeback", "full",
     ]
     if args.stages:
         stages = [s for s in args.stages.split(",") if s]

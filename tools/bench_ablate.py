@@ -10,7 +10,7 @@ window 1.
 
 Usage: python tools/bench_ablate.py <variant>
 Variants: full stub_preprocess stub_conflict stub_index stub_assoc
-          stub_fuse stub_writeback stub_append stub_plan
+          stub_fuseappend stub_plan
 """
 import dataclasses
 import sys
@@ -58,12 +58,10 @@ def make_stub(variant, cam, params):
             )
 
         return "associate_active", stub
-    if variant == "stub_fuse":
-        return "fuse_active", (lambda at, assoc: at)
-    if variant == "stub_writeback":
-        return "writeback_active", (lambda smap, at, B: smap)
-    if variant == "stub_append":
-        return "append_flat", (lambda smap, assoc: (smap, jnp.int32(0)))
+    if variant == "stub_fuseappend":
+        return "fuse_append_map", (
+            lambda smap, at, assoc, B: (smap, jnp.int32(0))
+        )
     if variant == "stub_plan":
         def stub(smap, T_inv, cam_, params_, num_blocks, block_size):
             blk = jnp.arange(num_blocks, dtype=jnp.int32)

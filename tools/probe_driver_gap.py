@@ -79,8 +79,11 @@ def main():
     c = jnp.float32(0)
     for i in range(20):
         depth, rgb, sem, pose = frames[51][1], frames[51][0], frames[51][2], frames[51][3]
+        # _fusion_step donates its map input — feed it a fresh copy each
+        # iteration (the copy cost is part of this variant's overhead)
         s2, ld2, dropped, stats = P._fusion_step(
-            smap, depth + (c * 0).astype(depth.dtype), rgb, sem, pose,
+            jax.tree.map(jnp.copy, smap),
+            depth + (c * 0).astype(depth.dtype), rgb, sem, pose,
             last_depth, last_pose, jnp.float32(51),
             cam, params, eff, B,
         )
