@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     ap.add_argument("--ngf", type=int, default=64)
     ap.add_argument("--ndf", type=int, default=64)
     ap.add_argument("--d-steps-per-g", type=int, default=2)
+    ap.add_argument("--num-d", type=int, default=2,
+                    help="multiscale discriminator count")
+    ap.add_argument("--n-layers-d", type=int, default=4)
     ap.add_argument("--no-vgg", action="store_true")
     ap.add_argument("--kitti-skip-list", action="store_true",
                     help="drop the reference's hardcoded bad KITTI frames")
@@ -77,13 +80,19 @@ def main(argv=None) -> int:
 
     devices = jax.devices()
     n_dev = len(devices)
-    mesh = Mesh(np.asarray(devices), ("data",)) if n_dev > 1 else None
-    if mesh is not None and args.batch % n_dev:
-        raise SystemExit(f"--batch {args.batch} not divisible by {n_dev} devices")
+    mesh = None
+    if n_dev > 1 and args.batch % n_dev == 0:
+        mesh = Mesh(np.asarray(devices), ("data",))
+    elif n_dev > 1:
+        print(
+            f"--batch {args.batch} not divisible by {n_dev} devices; "
+            "running single-device (pad the batch to shard)"
+        )
 
     cfg = SpadeConfig(
         ngf=args.ngf, ndf=args.ndf, crop_size=args.crop,
         use_vgg=not args.no_vgg,
+        num_d=args.num_d, n_layers_d=args.n_layers_d,
         niter=args.niter, niter_decay=args.niter_decay,
     )
     trainer = SpadeTrainer(cfg)
@@ -97,10 +106,13 @@ def main(argv=None) -> int:
     lab0, img0 = next(ds.batches(args.batch, 1))
     state = trainer.init_state(jnp.asarray(lab0), jnp.asarray(img0))
 
+    import dataclasses as _dc
+
     ckpt_path = os.path.join(args.ckpt_dir, "latest.msgpack")
     if args.continue_train and os.path.exists(ckpt_path):
         with open(ckpt_path, "rb") as f:
-            state = serialization.from_bytes(state, f.read())
+            restored = serialization.from_bytes(_dc.asdict(state), f.read())
+        state = type(state)(**restored)
         print(f"restored checkpoint {ckpt_path}")
 
     if mesh is not None:
@@ -117,12 +129,15 @@ def main(argv=None) -> int:
 
     def save(state):
         with open(ckpt_path, "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(state)))
+            f.write(
+                serialization.to_bytes(jax.device_get(_dc.asdict(state)))
+            )
         counter.record_current_iter()
 
     # replay the decay schedule up to the resume epoch so a resumed run
-    # continues at the correct lr
-    for e in range(2, counter.first_epoch + 1):
+    # continues at the correct lr (update runs at the END of each epoch
+    # with that epoch's number — reference train.py:85 convention)
+    for e in range(1, counter.first_epoch):
         state = trainer.update_learning_rate(state, e)
 
     for epoch in counter.training_epochs():
@@ -154,7 +169,7 @@ def main(argv=None) -> int:
             if counter.needs_saving():
                 save(state)
         counter.record_epoch_end()
-        state = trainer.update_learning_rate(state, epoch + 1)
+        state = trainer.update_learning_rate(state, epoch)
         g_lr, d_lr = trainer.current_lrs(state)
         print(f"epoch {epoch} done; lr G={g_lr:.2e} D={d_lr:.2e}")
         save(state)

@@ -94,9 +94,12 @@ def subsample_frame(
     cam: CameraIntrinsics,
     params: PipelineParams,
     stride: int,
+    incidence_min: float = 0.35,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Stride-subsampled (v_c [P,3], n_c [P,3], valid [P]) from a
-    preprocessed metric depth image (same ingest depth fusion sees)."""
+    """Stride-subsampled (v_c [P,3], n_c [P,3], valid [P]) from an ICP-
+    preprocessed metric depth image (icp.preprocess_for_icp: support-
+    filtered, unsmoothed — see refine_pose's docstring for why smoothed
+    depth biases the feedback loop)."""
     vx, vy, vz = backproject(depth_metric, cam)
     nx, ny, nz = central_normals(depth_metric, cam)
     sl = (slice(stride // 2, None, stride), slice(stride // 2, None, stride))
@@ -104,7 +107,17 @@ def subsample_frame(
     n = jnp.stack([nx[sl], ny[sl], nz[sl]], axis=-1).reshape(-1, 3)
     d = depth_metric[sl].reshape(-1)
     ok = (d > params.near_clip) & (d < params.far_clip)
-    return v, n, ok
+    # incidence gate as in icp.refine_pose: grazing-angle correspondences
+    # carry range-dependent depth bias and drag the window solution.  BA
+    # defaults to a softer 0.35 than ICP's 0.5 — the odometry edges already
+    # stabilize the y/pitch directions the grazing ground dominates, so BA
+    # keeps more of its signal.
+    ray_len = jnp.linalg.norm(v, axis=-1)
+    nrm = jnp.linalg.norm(n, axis=-1)
+    incidence = jnp.abs(jnp.sum(n * v, axis=-1)) / jnp.maximum(
+        ray_len * nrm, _EPS
+    )
+    return v, n, ok & (incidence > incidence_min)
 
 
 def subsample_count(cam: CameraIntrinsics, stride: int) -> int:

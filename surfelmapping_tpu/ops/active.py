@@ -744,6 +744,52 @@ def append_round_robin(
     return new_map, n_mine - appended
 
 
+def fuse_append_shard(
+    local: SurfelMap,
+    at: ActiveTable,
+    assoc: AssocFlat,
+    block_size: int,
+    rank_mod: int,
+    my_rank: jax.Array,
+) -> tuple[SurfelMap, jax.Array]:
+    """Sharded variant of :func:`fuse_append_map`: block writeback + ONE
+    combined scatter of merge writes (at.global_id is the LOCAL slot here)
+    and this shard's round-robin share of the new records (same dealing as
+    append_round_robin, so the global surfel SET matches single-chip)."""
+    local = writeback_active(local, at, block_size)
+    cap = local.capacity
+    matched = assoc.mark >= 0
+    is_new = assoc.mark == -1
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    to_me = is_new & (rank % rank_mod == my_rank)
+    dest_new = local.count + rank // rank_mod
+    ok_new = to_me & (dest_new < cap)
+
+    safe_mark = jnp.where(matched, assoc.mark, 0)
+    dest_merge = at.global_id[safe_mark]
+    dest = jnp.where(matched, dest_merge, jnp.where(ok_new, dest_new, cap))
+    cols = dict(
+        px=assoc.x, py=assoc.y, pz=assoc.z,
+        conf=assoc.conf, colorsem=assoc.colorsem,
+        last_t=assoc.last_t,
+        nx=assoc.nx, ny=assoc.ny, nz=assoc.nz, radius=assoc.radius,
+    )
+    n_mine = jnp.sum(to_me.astype(jnp.int32))
+    appended = jnp.minimum(n_mine, jnp.maximum(cap - local.count, 0))
+    new_map = dataclasses.replace(
+        local,
+        count=local.count + appended,
+        init_t=local.init_t.at[jnp.where(ok_new, dest_new, cap)].set(
+            assoc.init_t, mode="drop"
+        ),
+        **{
+            k: getattr(local, k).at[dest].set(v, mode="drop")
+            for k, v in cols.items()
+        },
+    )
+    return new_map, n_mine - appended
+
+
 def append_flat(smap: SurfelMap, assoc: AssocFlat) -> tuple[SurfelMap, jax.Array]:
     """Append mark==-1 records at the map tail (unstable.vert/.geom +
     concatenate, src/GlobalModel.cpp:581-637).  assoc is already in

@@ -301,6 +301,127 @@ def splat_render(
     }
 
 
+def splat_render_fast(
+    smap: SurfelMap,
+    view: jax.Array,
+    cam: CameraIntrinsics,
+    max_depth: float = 200.0,
+    footprint: int = 5,
+    classes: tuple[int, ...] = (1, 2, 3, 5),
+) -> dict[str, jax.Array]:
+    """Point-sprite splatter: each surfel scatters ONCE (depth pass + id
+    pass), and the footprint spreading happens as dense disc-shaped
+    min-dilations of the per-class center buffers — per-view cost is
+    2 x N scattered elements + a few hundred shifted image ops, instead of
+    the exact path's 2 x N x (2R+1)^2.
+
+    Documented divergences from the exact ray/plane renderer (both are
+    approximations of the GL rasterizer; the reference's own legacy
+    splat.vert point-sprite pipeline made the same trade):
+      * constant depth across a splat (no ray/plane variation);
+      * circular stamps — no foreshortened-ellipse shape for tilted discs;
+      * footprint radius quantized UP to the next class in ``classes``
+        (slightly larger splats), cropped at ``footprint``.
+
+    tests/test_render.py asserts PSNR parity against the exact renderer.
+    Returns the same dict as :func:`splat_render` (large_overflow = count
+    of splats cropped at the last class).
+    """
+    T_inv = invert_se3(view)
+    H, W = cam.height, cam.width
+    num_pix = H * W
+    N = smap.capacity
+
+    px, py, pz = transform_planar(T_inv, smap.px, smap.py, smap.pz)
+    nx, ny, nz = normalize_planar(*rotate_planar(T_inv, smap.nx, smap.ny, smap.nz))
+    active = smap.live_mask() & (smap.conf > 0.0) & (pz > 1.0) & (pz < max_depth)
+
+    # per-surfel disc pixel radius: the exact splat's disc half-extent is
+    # |X|*sqrt(0.5) = rad (near) or rad*sqrt2*sqrt0.5 (far); use the same
+    # foreshortened radius model
+    far_mode = pz > 5.0
+    dot_en = px * nx + py * ny + pz * nz
+    elen = jnp.sqrt(px * px + py * py + pz * pz)
+    cosang = dot_en / jnp.maximum(elen, 1e-12)
+    rad_eff = jnp.where(
+        far_mode, smap.radius, smap.radius / (1.0 + 0.5 * jnp.abs(cosang))
+    )
+    f = max(cam.fx, cam.fy)
+    safe_z = jnp.maximum(pz, 1.0)
+    rd = f * rad_eff / safe_z
+
+    classes = tuple(c for c in classes if c <= footprint) or (footprint,)
+    cls = jnp.full((N,), len(classes) - 1, jnp.int32)
+    for ci in range(len(classes) - 2, -1, -1):
+        cls = jnp.where(rd <= classes[ci], ci, cls)
+    large_overflow = jnp.sum(
+        (active & (rd > classes[-1])).astype(jnp.int32)
+    )
+
+    uc = cam.fx * px / safe_z + cam.cx
+    vc = cam.fy * py / safe_z + cam.cy
+    pi0 = jnp.floor(uc).astype(jnp.int32)
+    pj0 = jnp.floor(vc).astype(jnp.int32)
+    # centers outside the image are dropped (the dilation buffers are
+    # image-sized; splats centered off-image lose their partial border
+    # coverage — a documented border-only divergence)
+    inb = (pi0 >= 0) & (pi0 < W) & (pj0 >= 0) & (pj0 < H)
+    ok = active & inb
+    flat = jnp.where(ok, pj0 * W + pi0, num_pix)
+    key = _depth_key(pz, ok)
+    ids = jnp.arange(N, dtype=jnp.int32)
+
+    NC = len(classes)
+    # pass 1: per-class center z-buffers (ONE scatter over N total)
+    cflat = jnp.where(ok, cls * num_pix + flat, NC * num_pix)
+    zbuf = jnp.full((NC * num_pix,), INT32_MAX, jnp.int32).at[cflat].min(
+        key, mode="drop"
+    )
+    # pass 2: per-class winner ids at centers
+    win = ok & (key == zbuf[jnp.clip(cflat, 0, NC * num_pix - 1)])
+    idbuf = jnp.full((NC * num_pix,), INT32_MAX, jnp.int32).at[
+        jnp.where(win, cflat, NC * num_pix)
+    ].min(ids, mode="drop")
+
+    zimg = zbuf.reshape(NC, H, W)
+    iimg = idbuf.reshape(NC, H, W)
+
+    key_out = jnp.full((H, W), INT32_MAX, jnp.int32)
+    id_out = jnp.full((H, W), INT32_MAX, jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    colsi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    for ci2, R in enumerate(classes):
+        zk = zimg[ci2]
+        ik = iimg[ci2]
+        for dj in range(-R, R + 1):
+            for di in range(-R, R + 1):
+                if dj * dj + di * di > (R + 0.5) ** 2:
+                    continue  # disc-shaped stamp
+                sk = jnp.roll(jnp.roll(zk, dj, axis=0), di, axis=1)
+                si = jnp.roll(jnp.roll(ik, dj, axis=0), di, axis=1)
+                src_ok = (rows - dj >= 0) & (rows - dj < H) & \
+                         (colsi - di >= 0) & (colsi - di < W)
+                sk = jnp.where(src_ok, sk, INT32_MAX)
+                better = sk < key_out
+                tie = (sk == key_out) & (si < id_out)
+                take = better | tie
+                key_out = jnp.where(take, sk, key_out)
+                id_out = jnp.where(take, si, id_out)
+
+    hole = id_out.reshape(-1) == INT32_MAX
+    wid = jnp.where(hole, 0, id_out.reshape(-1))
+    w_rgb, w_sem = decode_color(smap.colorsem[wid])
+    rgb = jnp.where(hole[:, None], 0.0, w_rgb).reshape(H, W, 3)
+    sem = jnp.where(hole, 0, w_sem.astype(jnp.int32) + 1).reshape(H, W)
+    depth_f = jax.lax.bitcast_convert_type(key_out.reshape(-1), jnp.float32)
+    depth_img = jnp.where(hole, 0.0, depth_f).reshape(H, W)
+    id_img = jnp.where(hole, -1, id_out.reshape(-1)).reshape(H, W)
+    return {
+        "rgb": rgb, "semantic": sem, "depth": depth_img, "id": id_img,
+        "large_overflow": large_overflow,
+    }
+
+
 def render_view(
     smap: SurfelMap,
     view: jax.Array,
@@ -310,25 +431,81 @@ def render_view(
     small_footprint: int = 2,
     block_size: int = 2048,
     start_blocks: int = 256,
+    method: str = "fast",
 ) -> dict[str, jax.Array]:
     """Cull + render, growing the cull budget until nothing is truncated
     (host loop; each budget size is one jit executable).  The ``id`` image
-    is translated back to ORIGINAL map slot ids."""
-    budget = min(start_blocks, max(smap.capacity // block_size, 1))
-    G = smap.capacity // block_size
+    is translated back to ORIGINAL map slot ids.
+
+    ``method``: "fast" = point-sprite splatter (splat_render_fast; the
+    production path — per-view cost 2 x in-frustum surfels), "exact" =
+    ray/plane disc renderer (splat_render; the quality reference the tests
+    pin the fast path against).
+
+    The whole cull+render is ONE jitted dispatch; truncation is checked
+    AFTER the outputs return (one scalar read) and only a truncated view
+    re-renders with a grown budget — the old grow-first loop paid several
+    pipeline-draining syncs per view (measured ~1.7 s of host overhead on
+    a 2048-block map)."""
+    if smap.capacity % block_size:
+        # block culling needs whole blocks; pad with dead slots (conf 0).
+        # Loaded maps arrive at raw count capacity (surfels.load_map).
+        pad = block_size - smap.capacity % block_size
+        smap = dataclasses.replace(
+            smap,
+            **{
+                k: jnp.pad(getattr(smap, k), (0, pad))
+                for k in ("px", "py", "pz", "conf", "colorsem", "init_t",
+                          "last_t", "nx", "ny", "nz", "radius")
+            },
+        )
+    G = max(smap.capacity // block_size, 1)
+    budget = min(start_blocks, G)
     while True:
-        culled, gids, n_active = cull_for_render(
-            smap, view, cam, budget, block_size, max_depth,
-            margin=footprint + 2,
+        out, n_active = _cull_and_render(
+            smap, view, cam, budget, block_size, max_depth, footprint,
+            small_footprint, method,
         )
         if int(n_active) <= budget or budget >= G:
-            break
+            return out
         while budget < int(n_active):
             budget *= 2
         budget = min(budget, G)
-    out = splat_render(
-        culled, view, cam, max_depth, footprint, small_footprint
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "num_blocks", "block_size", "max_depth", "footprint",
+        "small_footprint", "method",
+    ),
+)
+def _cull_and_render(
+    smap: SurfelMap,
+    view: jax.Array,
+    cam: CameraIntrinsics,
+    num_blocks: int,
+    block_size: int,
+    max_depth: float,
+    footprint: int,
+    small_footprint: int | None,
+    method: str,
+):
+    culled, gids, n_active = cull_for_render(
+        smap, view, cam, num_blocks, block_size, max_depth,
+        margin=footprint + 2,
     )
+    if method == "fast":
+        out = splat_render_fast(culled, view, cam, max_depth, footprint)
+    else:
+        # the exact method is the correctness/quality reference: single
+        # window, no footprint buckets (the bucket side-table budget scales
+        # with the CULLED size and could overflow -> cropped splats)
+        out = splat_render(
+            culled, view, cam, max_depth, footprint, small_footprint=None
+        )
     idl = out["id"]
-    out["id"] = jnp.where(idl >= 0, gids[jnp.clip(idl, 0, gids.shape[0] - 1)], -1)
-    return out
+    out["id"] = jnp.where(
+        idl >= 0, gids[jnp.clip(idl, 0, gids.shape[0] - 1)], -1
+    )
+    return out, n_active

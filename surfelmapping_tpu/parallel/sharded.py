@@ -41,15 +41,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import CameraIntrinsics, PipelineParams
 from ..ops.active import (
     INT32_MAX,
-    append_round_robin,
     associate_active,
     conflict_active,
-    fuse_active,
+    fuse_append_shard,
     gather_active,
     index_candidates,
     index_resolve,
     plan_active_blocks,
-    writeback_active,
 )
 from ..ops.preprocess import preprocess_frame, remove_movings
 from ..ops.transforms import compose, invert_se3
@@ -217,10 +215,10 @@ def _shard_step_body(
     )
     assoc = dataclasses.replace(assoc, mark=mark)
 
-    # ---- 6. fuse into the table, one block writeback, round-robin append -
-    at = fuse_active(at, assoc)
-    local = writeback_active(local, at, block_size)
-    local, dropped_local = append_round_robin(local, assoc, n_devices, me)
+    # ---- 6. block writeback + ONE combined merge/append scatter ----------
+    local, dropped_local = fuse_append_shard(
+        local, at, assoc, block_size, n_devices, me
+    )
 
     live_after = jnp.sum(local.conf > 0.0)
     new_state = ShardedMapState(

@@ -199,3 +199,40 @@ def test_single_render_dataset_and_skip_list(tmp_path):
     name, arr = next(iter(sd))
     assert arr.shape == (40, 130, 3)
     assert arr.dtype == np.float32
+
+
+def test_spade_train_cli_smoke(tmp_path):
+    """End-to-end train CLI: 2 epochs x 2 steps at tiny sizes exercises the
+    epoch loop, LR decay, iter.txt bookkeeping, checkpointing, loss log and
+    resume (--continue-train)."""
+    import os
+
+    from PIL import Image
+
+    import spade_train
+
+    lab_dir = tmp_path / "label"
+    img_dir = tmp_path / "image"
+    lab_dir.mkdir(); img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for fid in range(3):
+        arr = rng.integers(0, 255, (40, 48, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(lab_dir / f"{fid:06d}.png")
+        Image.fromarray(arr[::-1]).save(img_dir / f"{fid:06d}.png")
+
+    ckpt = tmp_path / "ckpt"
+    argv = [
+        "--label-dir", str(lab_dir), "--image-dir", str(img_dir),
+        "--niter", "1", "--niter-decay", "1", "--steps-per-epoch", "2",
+        "--crop", "32", "--ngf", "8", "--ndf", "8",
+        "--num-d", "1", "--n-layers-d", "2", "--no-vgg",
+        "--ckpt-dir", str(ckpt), "--log-every", "1", "--display-every", "1000",
+    ]
+    assert spade_train.main(argv) == 0
+    assert (ckpt / "latest.msgpack").exists()
+    assert (ckpt / "iter.txt").exists()
+    assert (ckpt / "opt.pkl").exists()
+    log = (ckpt / "loss_log.txt").read_text()
+    assert "d_total" in log
+    # resume: runs the remaining epochs from the recorded cursor
+    assert spade_train.main(argv + ["--continue-train"]) == 0

@@ -1,0 +1,89 @@
+"""Novel-view render latency at the full bench map (VERDICT r3 #5).
+
+Builds the same 100-frame KITTI-resolution synthetic map as bench.py
+(~4.4 M surfels), then times render_view (frustum-culled, footprint-
+bucketed splatter) at a mapping pose and at a perturbed novel pose.
+Prints one JSON line; commit the result as RENDER_r04.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from surfelmapping_tpu.config import MapConfig, PipelineParams
+    from surfelmapping_tpu.io.synthetic import SyntheticScene, kitti_cam
+    from surfelmapping_tpu.metrics import psnr
+    from surfelmapping_tpu.ops.splat import render_view
+    from surfelmapping_tpu.pipeline import SurfelMapper
+
+    cam = kitti_cam()
+    params = PipelineParams()
+    mapper = SurfelMapper(
+        cam, params,
+        MapConfig(capacity=1 << 23, active_blocks=512,
+                  freeze_active_budget=True),
+        sync_every=16,
+    )
+    scene = SyntheticScene(cam, step=0.8)
+    n = int(os.environ.get("BENCH_RENDER_FRAMES", "100"))
+    frames = [mapper.stage_frame(*scene.frame(i)) for i in range(n)]
+    for i in range(n):
+        mapper.process_frame(*frames[i])
+    smap = mapper.smap
+    count = mapper.count
+
+    results = {}
+    rgb_mid, _, _, T_mid = scene.frame(n // 2)
+    views = {
+        "mapping_pose_mid": jnp.asarray(T_mid, jnp.float32),
+        "mapping_pose_end": jnp.asarray(scene.frame(n - 2)[3], jnp.float32),
+    }
+    # perturbed novel view (load_map-style random offset)
+    Tn = np.asarray(T_mid, np.float32).copy()
+    Tn[0, 3] += 1.5
+    Tn[2, 3] -= 1.0
+    views["novel_pose"] = jnp.asarray(Tn)
+
+    psnr_mid = None
+    for name, v in views.items():
+        t0 = time.perf_counter()
+        out = render_view(smap, v, cam, footprint=5)
+        _ = np.asarray(out["rgb"])
+        first = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        out = render_view(smap, v, cam, footprint=5)
+        rendered = np.asarray(out["rgb"])
+        steady = (time.perf_counter() - t0) * 1e3
+        results[name] = {
+            "first_ms": round(first, 1),
+            "steady_ms": round(steady, 1),
+            "hit_fraction": round(float(np.mean(np.asarray(out["semantic"]) > 0)), 3),
+            "large_overflow": int(out["large_overflow"]),
+        }
+        if name == "mapping_pose_mid":
+            hits = np.asarray(out["semantic"]) > 0
+            psnr_mid = psnr(rendered, np.asarray(rgb_mid, np.float64) / 255.0, hits)
+
+    print(json.dumps({
+        "metric": "novel_view_render_ms",
+        "surfels": int(count),
+        "resolution": f"{cam.width}x{cam.height}",
+        "views": results,
+        "psnr_on_hits_mid_db": round(psnr_mid, 2),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
