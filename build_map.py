@@ -117,7 +117,11 @@ def main(argv=None) -> int:
             pose = np.asarray(pose, np.float32) @ drift
         if pp is not None and mapper.count > 0:
             # ICP/BA run on the gathered in-frustum active table: every
-            # iteration costs O(in-view surfels), not O(capacity)
+            # iteration costs O(in-view surfels), not O(capacity).
+            # The table is gathered for the NEWEST frame's frustum; the BA
+            # window's older frames reuse it, which assumes consecutive
+            # frusta overlap heavily (true at KITTI frame spacing — ~1 m
+            # steps against a 30 m view depth; widen --ba-window with care)
             depth_m = pp(
                 jnp.asarray(np.asarray(depth).astype(np.uint16)),
                 jnp.asarray(np.asarray(sem).astype(np.int32)),

@@ -236,3 +236,17 @@ def test_spade_train_cli_smoke(tmp_path):
     assert "d_total" in log
     # resume: runs the remaining epochs from the recorded cursor
     assert spade_train.main(argv + ["--continue-train"]) == 0
+
+    # inference + postprocess over the trained checkpoint (spade_test CLI)
+    import spade_test
+
+    out_dir = tmp_path / "enhanced"
+    assert spade_test.main([
+        "--ckpt", str(ckpt / "latest.msgpack"),
+        "--label-dir", str(lab_dir), "--semantic-dir", str(lab_dir),
+        "--out", str(out_dir), "--ngf", "8",
+        "--num-d", "1", "--n-layers-d", "2", "--limit", "1",
+        "--start-frame-id", "1",
+    ]) == 0
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["000001.png"]  # start-frame-id skipped 000000

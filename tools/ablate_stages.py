@@ -121,20 +121,15 @@ def main():
             )
             if stage == "associate":
                 return force(filtered, at, removed, assoc)
-            at = A.fuse_active(at, assoc)
-            if stage == "fuse":
-                return force(filtered, at, removed, assoc)
-            smap2 = A.writeback_active(smap, at, B)
-            if stage == "writeback":
-                return force(filtered, removed, assoc, smap2)
-            smap2, dropped = A.append_flat(smap2, assoc)
+            # production tail: one combined merge/append scatter
+            smap2, dropped = A.fuse_append_map(smap, at, assoc, B)
             return force(filtered, removed, smap2, dropped)
 
         return jax.jit(fn)
 
     stages = [
         "preprocess", "movings", "plan", "gather", "conflict",
-        "index", "assoc_cand", "associate", "fuse", "writeback", "full",
+        "index", "assoc_cand", "associate", "full",
     ]
     if args.stages:
         stages = [s for s in args.stages.split(",") if s]

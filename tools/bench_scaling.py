@@ -108,8 +108,14 @@ def main():
     out = {
         "note": (
             "shared-host virtual devices: fixed total work, so flat wall "
-            "time = perfect scaling; efficiency = t(1)/t(D) isolates the "
-            "collective + sharding overhead"
+            "time = perfect scaling; efficiency = t(1)/t(D) bounds the "
+            "collective + sharding overhead FROM BELOW — the dense "
+            "preprocess/movings stencils run replicated (free on real "
+            "multi-chip hardware, but on D virtual devices sharing these 2 "
+            "cores the replicated work is recomputed D times and dominates "
+            "the apparent inefficiency; row-sharding the stencils was "
+            "tried and rejected: GSPMD inserts a halo collective per "
+            "shifted tap, 3-10x slower)"
         ),
         "resolution": f"{cam.width}x{cam.height}",
         "frames": args.frames,
