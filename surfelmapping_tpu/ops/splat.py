@@ -430,7 +430,7 @@ def render_view(
     footprint: int = 5,
     small_footprint: int = 2,
     block_size: int = 2048,
-    start_blocks: int = 256,
+    start_blocks: int | None = None,
     method: str = "fast",
 ) -> dict[str, jax.Array]:
     """Cull + render, growing the cull budget until nothing is truncated
@@ -444,9 +444,12 @@ def render_view(
 
     The whole cull+render is ONE jitted dispatch; truncation is checked
     AFTER the outputs return (one scalar read) and only a truncated view
-    re-renders with a grown budget — the old grow-first loop paid several
-    pipeline-draining syncs per view (measured ~1.7 s of host overhead on
-    a 2048-block map)."""
+    re-renders with a grown budget.  ``start_blocks`` is the cull-budget
+    hint: None starts at the full block count (no retry ever — the right
+    default for one-off renders); view loops should feed the previous
+    view's ``out["n_active_blocks"]`` back in (rounded up) so repeated
+    renders pay only the in-frustum size.  Each budget size is its own XLA
+    executable, so hints are bucketed to powers of two."""
     if smap.capacity % block_size:
         # block culling needs whole blocks; pad with dead slots (conf 0).
         # Loaded maps arrive at raw count capacity (surfels.load_map).
@@ -460,13 +463,24 @@ def render_view(
             },
         )
     G = max(smap.capacity // block_size, 1)
-    budget = min(start_blocks, G)
+    if start_blocks is None:
+        budget = G
+    else:
+        # pow2 bucket so feed-forward hints reuse executables; near-full
+        # hints collapse to the full-budget executable (each bucket is its
+        # own multi-second XLA compile — a 2048 bucket next to G=2148
+        # would recompile for a 5% saving)
+        budget = 1
+        while budget < start_blocks:
+            budget *= 2
+        budget = G if budget >= G // 2 else budget
     while True:
         out, n_active = _cull_and_render(
             smap, view, cam, budget, block_size, max_depth, footprint,
             small_footprint, method,
         )
         if int(n_active) <= budget or budget >= G:
+            out["n_active_blocks"] = n_active
             return out
         while budget < int(n_active):
             budget *= 2

@@ -323,6 +323,14 @@ class SurfelMapper:
         self._refresh_counts()
         return self._cached_count
 
+    def _padded(self, scalars: list) -> list:
+        """Pad a pending-scalar list to sync_every entries so the stacked
+        read has ONE shape (each distinct stack length is its own cached
+        executable — variable window lengths were compiling inside timed
+        bench windows)."""
+        pad = self.sync_every - len(scalars)
+        return scalars + [scalars[0]] * max(pad, 0)
+
     def _compact_now(self) -> None:
         self._smap = compact(self._smap)
         self._cached_tail = int(self._smap.count)
@@ -352,7 +360,9 @@ class SurfelMapper:
             # ONE stacked transfer: per-scalar int() reads each pay a full
             # tunnel round trip (measured ~0.3-0.5 s of pure RTT per sync at
             # sync_every=16)
-            acts = np.asarray(jnp.stack(self._pending_active)).tolist()
+            acts = np.asarray(jnp.stack(self._padded(self._pending_active)))[
+                : len(self._pending_active)
+            ].tolist()
             effs = [eff for (_, eff) in self._window]
             if all(a <= e for a, e in zip(acts, effs)):
                 return
@@ -380,7 +390,10 @@ class SurfelMapper:
         and active-budget growth."""
         self._repair_overflow()
         if self._pending_dropped:
-            total = int(np.asarray(jnp.stack(self._pending_dropped)).sum())
+            k = len(self._pending_dropped)
+            total = int(
+                np.asarray(jnp.stack(self._padded(self._pending_dropped)))[:k].sum()
+            )
             self._pending_dropped = []
             if total:
                 raise RuntimeError(
@@ -388,7 +401,10 @@ class SurfelMapper:
                     "pre-growth margin violated (bug)"
                 )
         if self._pending_active:
-            peak = int(np.asarray(jnp.stack(self._pending_active)).max())
+            k = len(self._pending_active)
+            peak = int(
+                np.asarray(jnp.stack(self._padded(self._pending_active)))[:k].max()
+            )
             self._pending_active = []
             # Right-size the budget to the measured working set: every table
             # stage (gather/conflict/index/associate/fuse/writeback) costs

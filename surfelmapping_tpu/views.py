@@ -105,12 +105,15 @@ def acquire_images(
     os.makedirs(sem_dir, exist_ok=True)
 
     # render_view culls to the in-frustum blocks first: per-view cost scales
-    # with visible surfels, not map capacity (ops/splat.py round-4 rework)
+    # with visible surfels, not map capacity; the previous view's active
+    # count feeds forward as the next cull budget (ops/splat.py)
     from .ops.splat import render_view
 
+    hint = None
     for i, v in enumerate(views):
         out = render_view(smap, jnp.asarray(v, jnp.float32), cam,
-                          footprint=footprint)
+                          footprint=footprint, start_blocks=hint)
+        hint = int(out["n_active_blocks"]) + 1
         rgb = np.asarray(
             jnp.clip(jnp.round(out["rgb"] * 255.0), 0, 255).astype(jnp.uint8)
         )

@@ -61,8 +61,12 @@ def main():
         out = render_view(smap, v, cam, footprint=5)
         _ = np.asarray(out["rgb"])
         first = (time.perf_counter() - t0) * 1e3
+        hint = int(out["n_active_blocks"]) + 1
+        # warm the hinted bucket (may compile), then measure steady state
+        out = render_view(smap, v, cam, footprint=5, start_blocks=hint)
+        _ = np.asarray(out["rgb"])
         t0 = time.perf_counter()
-        out = render_view(smap, v, cam, footprint=5)
+        out = render_view(smap, v, cam, footprint=5, start_blocks=hint)
         rendered = np.asarray(out["rgb"])
         steady = (time.perf_counter() - t0) * 1e3
         results[name] = {
