@@ -41,6 +41,15 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="use N procedural frames instead of a dataset")
     ap.add_argument("--capacity", type=int, default=1 << 22)
+    ap.add_argument("--gui", action="store_true",
+                    help="interactive 4-panel viewer (keys: space pause, "
+                         ". step, s save, c clean, r reset, v novel view, "
+                         "m cycle model view, q quit); headless "
+                         "environments write PNG snapshots instead")
+    ap.add_argument("--gui-snapshots", default=None, metavar="DIR",
+                    help="force snapshot mode into DIR")
+    ap.add_argument("--gui-render-every", type=int, default=10,
+                    help="refresh the model panel every N frames")
     ap.add_argument("--fuse-thresh", type=float, default=None,
                     help="override surfel fuse distance threshold factor")
     ap.add_argument("--profile", action="store_true", help="print stage timings")
@@ -104,11 +113,21 @@ def main(argv=None) -> int:
     noise_rng = np.random.default_rng(0) if args.pose_noise else None
     drift = np.eye(4, dtype=np.float32)
 
+    gui = None
+    if args.gui or args.gui_snapshots:
+        from surfelmapping_tpu.gui import MappingGUI
+
+        gui = MappingGUI(cam, snapshot_dir=args.gui_snapshots,
+                         snapshot_every=args.gui_render_every)
+
     t0 = _time.perf_counter()
     n_frames = 0
     history = []
     gt_poses = []
+    novel_count = 0
     for fid, rgb, depth, sem, pose in frames():
+        if gui is not None and gui.quit:
+            break
         gt_poses.append(np.asarray(pose, np.float32))
         if noise_rng is not None:
             dT = np.eye(4, dtype=np.float32)
@@ -141,6 +160,50 @@ def main(argv=None) -> int:
         if n_frames % 20 == 0:
             fps = n_frames / (_time.perf_counter() - t0)
             print(f"frame {fid}: surfels={mapper.count} fps={fps:.2f}", flush=True)
+        if gui is not None:
+            import jax.numpy as _jnp
+
+            render = None
+            if n_frames % args.gui_render_every == 0 and mapper.count > 0:
+                from surfelmapping_tpu.ops.splat import render_view
+
+                render = render_view(
+                    mapper.smap, _jnp.asarray(pose, _jnp.float32), cam
+                )
+            gui.update(
+                rgb, np.asarray(depth, np.float32) / 1000.0, sem, render,
+                status=f"frame {fid}  surfels={mapper.last_stats.get('count', '?')}",
+            )
+            if gui.want_save:
+                gui.want_save = False
+                path = _time.strftime("surfel_map_%m_%d_%H:%M:%S.bin")
+                mapper.save_map(path, history[0][0], fid)
+                print(f"saved {path}")
+            if gui.want_clean:
+                gui.want_clean = False
+                for cfid, crgb, cd, cs, cp in reversed(history):
+                    mapper.clean_points(cd, cs, cp)
+                print(f"cleaned: surfels={mapper.count}")
+            if gui.want_reset:
+                gui.want_reset = False
+                mapper.reset()
+                print("map reset")
+            if gui.want_novel:
+                gui.want_novel = False
+                from surfelmapping_tpu.views import (
+                    acquire_images,
+                    random_novel_views,
+                )
+
+                views = random_novel_views(
+                    [np.asarray(h[4], np.float32) for h in history], 1,
+                    seed=novel_count,
+                )
+                acquire_images(mapper.smap, views, "output/novel", cam,
+                               start_id=novel_count)
+                novel_count += 1
+                print(f"acquired novel view {novel_count}")
+            gui.wait_if_paused()
 
     if args.icp or args.ba or args.pose_noise:
         est = np.stack([np.asarray(h[4], np.float32)[:3, 3] for h in history])
