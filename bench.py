@@ -56,9 +56,9 @@ def main() -> None:
     mapper = SurfelMapper(
         cam,
         params,
-        MapConfig(capacity=1 << 23, active_blocks=512,
+        MapConfig(capacity=1 << 24, active_blocks=512,
                   freeze_active_budget=True),
-        sync_every=16,
+        sync_every=32,
     )
     scene = SyntheticScene(cam, step=0.8)
 
