@@ -34,13 +34,21 @@ def main(argv=None) -> int:
                          "(odometry source = ICP when --icp is also given, "
                          "else the input poses)")
     ap.add_argument("--ba-window", type=int, default=5)
-    ap.add_argument("--ba-odo-weight", type=float, default=300.0)
+    ap.add_argument("--ba-odo-weight", type=float, default=1e4)
     ap.add_argument("--pose-noise", type=float, default=0.0, metavar="SIGMA",
                     help="perturb input poses with random-walk noise (m/frame) "
                          "— drives the ICP/BA parity experiments")
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="use N procedural frames instead of a dataset")
     ap.add_argument("--capacity", type=int, default=1 << 22)
+    ap.add_argument("--devices", type=int, default=1, metavar="D",
+                    help="run the block-sharded engine over a D-device mesh "
+                         "(parallel/sharded.py); if fewer real devices exist, "
+                         "a D-device virtual CPU mesh is forced (must be set "
+                         "before JAX initialises).  ICP/BA with --devices "
+                         "gather the map per frame (a host sync each)")
+    ap.add_argument("--sync-every", type=int, default=8,
+                    help="sharded-engine window length between host syncs")
     ap.add_argument("--gui", action="store_true",
                     help="interactive 4-panel viewer (keys: space pause, "
                          ". step, s save, c clean, r reset, v novel view, "
@@ -54,6 +62,36 @@ def main(argv=None) -> int:
                     help="override surfel fuse distance threshold factor")
     ap.add_argument("--profile", action="store_true", help="print stage timings")
     args = ap.parse_args(argv)
+
+    if args.devices > 1:
+        # the mesh needs D devices; when the host has fewer real chips,
+        # re-exec under a D-device virtual CPU mesh (the forcing flag only
+        # works BEFORE jax initialises, so a child process is the safe path)
+        import os
+        import subprocess
+        import sys as _sys
+
+        import jax as _jax
+
+        if len(_jax.devices()) < args.devices:
+            if os.environ.get("_SURFEL_FORCED_MESH"):
+                ap.error(
+                    f"--devices {args.devices} but only "
+                    f"{len(_jax.devices())} devices even under the forced "
+                    "CPU mesh"
+                )
+            env = dict(os.environ)
+            env["_SURFEL_FORCED_MESH"] = "1"
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+            return subprocess.call(
+                [_sys.executable, os.path.abspath(__file__)]
+                + list(argv if argv is not None else _sys.argv[1:]),
+                env=env,
+            )
 
     from surfelmapping_tpu.config import MapConfig, PipelineParams
     from surfelmapping_tpu.pipeline import SurfelMapper
@@ -91,7 +129,23 @@ def main(argv=None) -> int:
                     return
                 yield f.frame_id, f.rgb, f.depth, f.semantic, f.pose
 
-    mapper = SurfelMapper(cam, params, MapConfig(capacity=args.capacity))
+    sharded = args.devices > 1
+    if sharded:
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from surfelmapping_tpu.parallel.sharded import AXIS, ShardedMapper
+
+        mesh = Mesh(_np.array(jax.devices()[: args.devices]), (AXIS,))
+        mapper = ShardedMapper(
+            mesh, cam, params, capacity=args.capacity,
+            sync_every=args.sync_every,
+        )
+        current_map = mapper.smap  # method: gathers shards (a host sync)
+    else:
+        mapper = SurfelMapper(cam, params, MapConfig(capacity=args.capacity))
+        current_map = lambda: mapper.smap  # noqa: E731
 
     pp = ba = None
     refine_pose = None
@@ -163,16 +217,38 @@ def main(argv=None) -> int:
         if gui is not None:
             import jax.numpy as _jnp
 
-            render = None
+            render = map_render = None
             if n_frames % args.gui_render_every == 0 and mapper.count > 0:
                 from surfelmapping_tpu.ops.splat import render_view
 
-                render = render_view(
-                    mapper.smap, _jnp.asarray(pose, _jnp.float32), cam
+                m = current_map()
+                if getattr(gui, "show_local", False) and not sharded:
+                    # 'l' key: the frame's unfused local surfel cloud
+                    # (reference getLocalSurfelModel inspection view)
+                    lm = mapper.local_model(rgb, depth, sem, pose)
+                    render = render_view(
+                        lm, _jnp.asarray(pose, _jnp.float32), cam
+                    )
+                else:
+                    render = render_view(
+                        m, _jnp.asarray(pose, _jnp.float32), cam
+                    )
+                map_render = render_view(
+                    m, _jnp.asarray(gui.map_view_pose(pose), _jnp.float32),
+                    cam,
                 )
+            if sharded:
+                status_count = stats.get("count", "?")
+                cap_used, cap_total = int(mapper._tails.sum()), mapper.capacity
+            else:
+                status_count = mapper.last_stats.get("count", "?")
+                cap_used, cap_total = mapper._cached_tail, mapper._smap.capacity
             gui.update(
                 rgb, np.asarray(depth, np.float32) / 1000.0, sem, render,
-                status=f"frame {fid}  surfels={mapper.last_stats.get('count', '?')}",
+                status=f"frame {fid}  surfels={status_count}",
+                pose=np.asarray(pose, np.float32),
+                map_render=map_render,
+                capacity_used=cap_used, capacity_total=cap_total,
             )
             if gui.want_save:
                 gui.want_save = False
@@ -181,9 +257,13 @@ def main(argv=None) -> int:
                 print(f"saved {path}")
             if gui.want_clean:
                 gui.want_clean = False
-                for cfid, crgb, cd, cs, cp in reversed(history):
-                    mapper.clean_points(cd, cs, cp)
-                print(f"cleaned: surfels={mapper.count}")
+                if sharded:
+                    print("clean: unsupported live on the sharded engine "
+                          "(run --clean for an end-of-run pass)")
+                else:
+                    for cfid, crgb, cd, cs, cp in reversed(history):
+                        mapper.clean_points(cd, cs, cp)
+                    print(f"cleaned: surfels={mapper.count}")
             if gui.want_reset:
                 gui.want_reset = False
                 mapper.reset()
@@ -199,7 +279,7 @@ def main(argv=None) -> int:
                     [np.asarray(h[4], np.float32) for h in history], 1,
                     seed=novel_count,
                 )
-                acquire_images(mapper.smap, views, "output/novel", cam,
+                acquire_images(current_map(), views, "output/novel", cam,
                                start_id=novel_count)
                 novel_count += 1
                 print(f"acquired novel view {novel_count}")
@@ -213,9 +293,29 @@ def main(argv=None) -> int:
 
     if args.clean:
         print("running backward cleanPoints pass ...")
-        for fid, rgb, depth, sem, pose in reversed(history):
-            mapper.clean_points(depth, sem, pose)
-        print(f"after clean: surfels={mapper.count}")
+        if sharded:
+            # clean is a backward BATCH pass over the finished map — gather
+            # the shards once and replay it on the single-chip engine
+            import jax.numpy as _jnp
+
+            from surfelmapping_tpu.surfels import resize_map
+
+            single = SurfelMapper(cam, params, MapConfig(capacity=args.capacity))
+            gathered = mapper.smap()
+            cap = single.map_config.rounded_capacity(
+                max(int(gathered.count), args.capacity)
+            )
+            single.smap = resize_map(gathered, cap)
+            single._cached_count = single._cached_tail = int(gathered.count)
+            for fid, rgb, depth, sem, pose in reversed(history):
+                single.clean_points(depth, sem, pose)
+            print(f"after clean: surfels={single.count}")
+            mapper = single
+            sharded = False
+        else:
+            for fid, rgb, depth, sem, pose in reversed(history):
+                mapper.clean_points(depth, sem, pose)
+            print(f"after clean: surfels={mapper.count}")
 
     out = args.out or _time.strftime("surfel_map_%m_%d_%H:%M:%S.bin")
     start_id = history[0][0] if history else 0
@@ -226,7 +326,7 @@ def main(argv=None) -> int:
         f"{out} saved: {mapper.count} surfels from {n_frames} frames "
         f"({n_frames/dt:.2f} fps)"
     )
-    if args.profile:
+    if args.profile and hasattr(mapper, "stopwatch"):
         print(mapper.stopwatch.report())
     return 0
 

@@ -45,6 +45,10 @@ def main(argv=None) -> int:
                     help="multiscale discriminator count")
     ap.add_argument("--n-layers-d", type=int, default=4)
     ap.add_argument("--no-vgg", action="store_true")
+    ap.add_argument("--use-vae", action="store_true",
+                    help="VAE mode: ConvEncoder + reparameterised z + KLD "
+                         "loss (reference --use_vae)")
+    ap.add_argument("--lambda-kld", type=float, default=0.05)
     ap.add_argument("--kitti-skip-list", action="store_true",
                     help="drop the reference's hardcoded bad KITTI frames")
     ap.add_argument("--ckpt-dir", default="checkpoints/spade")
@@ -94,6 +98,7 @@ def main(argv=None) -> int:
         use_vgg=not args.no_vgg,
         num_d=args.num_d, n_layers_d=args.n_layers_d,
         niter=args.niter, niter_decay=args.niter_decay,
+        use_vae=args.use_vae, lambda_kld=args.lambda_kld,
     )
     trainer = SpadeTrainer(cfg)
     ds = PairedRenderDataset(

@@ -10,10 +10,18 @@ same control surface:
   keys:  space pause/resume . step (while paused) m cycle model view
          s save map         c backward clean      r reset map
          v render a novel view offset from the current pose   q quit
+         f follow-pose map camera on/off (build_map.cpp:47-75 follow math)
+         arrows orbit the free map camera, +/- zoom (gui/GUI.cpp s_cam)
 
-Headless environments (no DISPLAY) fall back to writing the same 4-panel
-figure to PNG every ``snapshot_every`` frames — the supervision view
-without a window.
+The fifth panel is the reference's 3D map view: a free/follow camera render
+of the model with the current camera FRUSTUM drawn over it
+(gui/GUI.cpp:335-357 drawFrustum, yellow) and the capacity bar overlay
+(gui/GUI.cpp:275-300 drawCapacity: half view height, 2% width, fill =
+surfels/capacity).
+
+Headless environments (no DISPLAY) fall back to writing the same figure to
+PNG every ``snapshot_every`` frames — the supervision view without a
+window.
 
 Usage:  python build_map.py <dataset> --gui        (or --gui-snapshots DIR)
 """
@@ -76,6 +84,12 @@ class MappingGUI:
         self.snapshot_every = snapshot_every
         self._frame_no = 0
         self._last_draw = 0.0
+        self.show_local = False  # 'l': render the frame's unfused local model
+        # map-view camera state (reference followPose + free s_cam orbit)
+        self.follow = True
+        self.orbit_az = 0.0       # radians around the camera's up axis
+        self.orbit_el = 0.45      # elevation above the horizon
+        self.orbit_dist = 18.0    # metres from the followed pose
 
         self.interactive = bool(os.environ.get("DISPLAY")) and snapshot_dir is None
         self.snapshot_dir = snapshot_dir
@@ -91,17 +105,42 @@ class MappingGUI:
         import matplotlib.pyplot as plt
 
         self._plt = plt
-        self.fig, axes = plt.subplots(2, 2, figsize=(12, 5))
+        self.fig, axes = plt.subplots(2, 3, figsize=(16, 5))
         self.fig.canvas.manager.set_window_title("surfelmapping_tpu") \
             if self.interactive else None
         self.axes = axes.ravel()
         for ax, title in zip(self.axes, ("input rgb", "depth (metric)",
-                                         "semantic", "model render")):
+                                         "semantic", "model render",
+                                         "map view (follow)", "trajectory")):
             ax.set_title(title, fontsize=9)
             ax.axis("off")
         H, W = cam.height, cam.width
         blank = np.zeros((H, W, 3), np.uint8)
-        self.ims = [self.axes[i].imshow(blank) for i in range(4)]
+        self.ims = [self.axes[i].imshow(blank) for i in range(5)]
+        # frustum wires over the map view (drawFrustum, yellow) — 8 segments
+        self._frustum_lines = [
+            self.axes[4].plot([], [], color="yellow", lw=1.0)[0]
+            for _ in range(8)
+        ]
+        # capacity bar (drawCapacity: half view height, 2% width) — outline
+        # + fill rectangle in axes-fraction coordinates
+        from matplotlib.patches import Rectangle
+
+        self._cap_outline = Rectangle(
+            (0.955, 0.25), 0.02, 0.5, transform=self.axes[4].transAxes,
+            fill=False, edgecolor="white", lw=0.8)
+        self._cap_fill = Rectangle(
+            (0.955, 0.25), 0.02, 0.0, transform=self.axes[4].transAxes,
+            facecolor="lime", edgecolor="none")
+        self.axes[4].add_patch(self._cap_outline)
+        self.axes[4].add_patch(self._cap_fill)
+        self.axes[4].set_xlim(0, W)
+        self.axes[4].set_ylim(H, 0)
+        # top-down trajectory track (reference path view)
+        self._traj_xy: list[tuple[float, float]] = []
+        self._traj_line = self.axes[5].plot([], [], color="tab:blue", lw=1.0)[0]
+        self._traj_dot = self.axes[5].plot([], [], "o", color="red", ms=3)[0]
+        self.axes[5].set_aspect("equal")
         self._status = self.fig.text(0.01, 0.01, "", fontsize=8)
         if self.interactive:
             self.fig.canvas.mpl_connect("key_press_event", self._on_key)
@@ -126,6 +165,27 @@ class MappingGUI:
             self.want_novel = True
         elif k == "m":
             self.model_view = (self.model_view + 1) % len(self.MODEL_VIEWS)
+        elif k == "l":
+            # local-model inspection (reference getLocalSurfelModel surface)
+            self.show_local = not self.show_local
+        elif k == "f":
+            self.follow = not self.follow
+            self.axes[4].set_title(
+                f"map view ({'follow' if self.follow else 'free'})",
+                fontsize=9,
+            )
+        elif k == "left":
+            self.orbit_az -= 0.15
+        elif k == "right":
+            self.orbit_az += 0.15
+        elif k == "up":
+            self.orbit_el = min(self.orbit_el + 0.1, 1.5)
+        elif k == "down":
+            self.orbit_el = max(self.orbit_el - 0.1, -0.2)
+        elif k in ("+", "="):
+            self.orbit_dist = max(self.orbit_dist / 1.25, 2.0)
+        elif k == "-":
+            self.orbit_dist = min(self.orbit_dist * 1.25, 200.0)
         elif k == "q":
             self.quit = True
 
@@ -138,12 +198,85 @@ class MappingGUI:
                 return
             self._plt.pause(0.05)
 
+    # -- map-view camera ---------------------------------------------------
+
+    def map_view_pose(self, pose) -> np.ndarray:
+        """Camera-to-world matrix for the map-view panel.
+
+        Follow mode reproduces the reference follow math
+        (build_map.cpp:47-75): eye behind the current pose along its forward
+        axis, looking at it with the pose's up — distance scaled by the +/-
+        zoom.  Free mode orbits the pose position with the arrow keys
+        (azimuth/elevation) at the zoom distance, like dragging the
+        reference's Pangolin s_cam."""
+        T = np.asarray(pose, np.float32)
+        R = T[:3, :3]
+        center = T[:3, 3]
+        f = R @ np.array([0, 0, 1], np.float32)
+        up = R @ np.array([0, -1, 0], np.float32)
+        r = R @ np.array([1, 0, 0], np.float32)
+        if self.follow:
+            eye = center - f * (self.orbit_dist / 6.0) + up * (
+                self.orbit_dist / 9.0
+            )
+        else:
+            ca, sa = np.cos(self.orbit_az), np.sin(self.orbit_az)
+            ce, se = np.cos(self.orbit_el), np.sin(self.orbit_el)
+            d = -f * ca * ce + r * sa * ce + up * se
+            eye = center + self.orbit_dist * d
+        z = center - eye
+        z = z / max(np.linalg.norm(z), 1e-9)
+        x = np.cross(z, up)
+        x = x / max(np.linalg.norm(x), 1e-9)
+        y = np.cross(z, x)
+        V = np.eye(4, dtype=np.float32)
+        V[:3, 0], V[:3, 1], V[:3, 2], V[:3, 3] = x, y, z, eye
+        self._last_view = V
+        return V
+
+    def _draw_frustum(self, pose: np.ndarray, depth: float = 2.0) -> None:
+        """Project the current camera frustum into the map view and update
+        the 8 wire segments (drawFrustum parity: yellow, apex + 4 edges +
+        far-plane quad; scale = ``depth`` metres)."""
+        view = getattr(self, "_last_view", None)
+        if view is None:
+            return
+        cam = self.cam
+        T = np.asarray(pose, np.float32)
+        corners = np.array([
+            [(u - cam.cx) / cam.fx * depth, (v - cam.cy) / cam.fy * depth,
+             depth, 1.0]
+            for u, v in ((0, 0), (cam.width, 0), (cam.width, cam.height),
+                         (0, cam.height))
+        ], np.float32)
+        apex = T[:, 3]
+        world = corners @ T.T  # rows = world-frame corners
+        Vinv = np.linalg.inv(view)
+        pts = np.concatenate([world, apex[None]], axis=0) @ Vinv.T
+        z = pts[:, 2]
+        uv = np.stack([
+            cam.fx * pts[:, 0] / np.maximum(z, 1e-6) + cam.cx,
+            cam.fy * pts[:, 1] / np.maximum(z, 1e-6) + cam.cy,
+        ], axis=1)
+        ok = z > 0.05
+        segs = [(4, 0), (4, 1), (4, 2), (4, 3),
+                (0, 1), (1, 2), (2, 3), (3, 0)]
+        for line, (a, b) in zip(self._frustum_lines, segs):
+            if ok[a] and ok[b]:
+                line.set_data([uv[a, 0], uv[b, 0]], [uv[a, 1], uv[b, 1]])
+            else:
+                line.set_data([], [])
+
     # -- drawing -----------------------------------------------------------
 
     def update(self, rgb, depth_m, semantic, render: dict | None,
-               status: str = "") -> None:
-        """Refresh the four panels.  ``render`` is a splat_render output
-        dict (or None to keep the previous model panel)."""
+               status: str = "", pose=None, map_render: dict | None = None,
+               capacity_used: int | None = None,
+               capacity_total: int | None = None) -> None:
+        """Refresh the panels.  ``render`` is a splat_render output dict at
+        the CURRENT camera (or None to keep the previous model panel);
+        ``map_render`` is one at :meth:`map_view_pose` for the map panel.
+        ``pose`` draws the frustum; capacity_used/total drive the bar."""
         self._frame_no += 1
         draw = self.interactive or (
             self.snapshot_dir and self._frame_no % self.snapshot_every == 0
@@ -175,6 +308,25 @@ class MappingGUI:
                 )
             self.ims[3].set_data(img)
             self.axes[3].set_title(f"model render ({mode})", fontsize=9)
+        if map_render is not None:
+            self.ims[4].set_data(np.clip(
+                np.asarray(map_render["rgb"]) * 255, 0, 255).astype(np.uint8))
+        if pose is not None:
+            self._draw_frustum(pose)
+            T = np.asarray(pose, np.float32)
+            self._traj_xy.append((float(T[0, 3]), float(T[2, 3])))
+            xs = [p[0] for p in self._traj_xy]
+            ys = [p[1] for p in self._traj_xy]
+            self._traj_line.set_data(xs, ys)
+            self._traj_dot.set_data([xs[-1]], [ys[-1]])
+            self.axes[5].relim()
+            self.axes[5].autoscale_view()
+        if capacity_used is not None and capacity_total:
+            frac = min(max(capacity_used / capacity_total, 0.0), 1.0)
+            self._cap_fill.set_height(0.5 * frac)
+            self._cap_fill.set_facecolor(
+                "red" if frac > 0.9 else "orange" if frac > 0.75 else "lime"
+            )
         self._status.set_text(status)
 
         if self.interactive:

@@ -35,8 +35,10 @@ def render_vs_frame_psnr(mapper, rgb_frame: np.ndarray, pose: np.ndarray,
 
     from .ops.splat import splat_render
 
+    # small_footprint=None: single-window exact path — parity metrics must
+    # never quietly degrade through cropped large-bucket splats
     out = splat_render(mapper.smap, jnp.asarray(pose, jnp.float32), mapper.cam,
-                       footprint=footprint)
+                       footprint=footprint, small_footprint=None)
     rendered = np.asarray(out["rgb"])
     sem = np.asarray(out["semantic"])
     hits = sem > 0

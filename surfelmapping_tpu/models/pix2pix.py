@@ -36,7 +36,8 @@ from .losses import (
     multiscale_hinge_g,
     vgg_loss,
 )
-from .spade import MultiscaleDiscriminator, SPADEGenerator
+from .losses import kld_loss
+from .spade import ConvEncoder, MultiscaleDiscriminator, SPADEGenerator
 
 
 @dataclasses.dataclass
@@ -56,6 +57,11 @@ class SpadeConfig:
     n_layers_d: int = 4
     niter: int = 100        # epochs at constant lr (ref train_options.py)
     niter_decay: int = 100  # epochs of linear decay to zero
+    use_vae: bool = False   # VAE mode (pix2pix_model.py:62-67): encode the
+    # real image -> (mu, logvar), reparameterised z feeds the generator and
+    # a KLD term joins the G loss
+    lambda_kld: float = 0.05
+    z_dim: int = 256
     axis_name: str | None = None  # only for pmap/shard_map callers; under
     # sharded jit (spade_train.py) batch stats/grads are already global
 
@@ -82,6 +88,12 @@ class SpadeTrainer:
             crop_size=cfg.crop_size,
             aspect_ratio=cfg.aspect_ratio,
             axis_name=cfg.axis_name,
+            use_vae=cfg.use_vae,
+            z_dim=cfg.z_dim,
+        )
+        self.enc = (
+            ConvEncoder(ndf=cfg.ndf, z_dim=cfg.z_dim, crop_size=cfg.crop_size)
+            if cfg.use_vae else None
         )
         self.disc = MultiscaleDiscriminator(
             num_d=cfg.num_d, ndf=cfg.ndf, n_layers=cfg.n_layers_d,
@@ -134,8 +146,19 @@ class SpadeTrainer:
 
     def init_state(self, sample_label: jax.Array, sample_image: jax.Array) -> TrainState:
         k = jax.random.PRNGKey(self.seed)
-        kg, kd, kv = jax.random.split(k, 3)
+        kg, kd, kv, ke = jax.random.split(k, 4)
         gvars = self.gen.init(kg, sample_label, train=False)
+        if self.enc is not None:
+            evars = self.enc.init(ke, sample_image, train=False)
+            # the encoder trains with the generator (G_params += E.parameters,
+            # pix2pix_model.py:250-252): bundle both under g_params
+            gvars = {
+                "params": {"gen": gvars["params"], "enc": evars["params"]},
+                "batch_stats": {
+                    "gen": gvars.get("batch_stats", {}),
+                    "enc": evars.get("batch_stats", {}),
+                },
+            }
         dvars = self.disc.init(
             kd, jnp.concatenate([sample_label, sample_image], axis=-1), train=False
         )
@@ -160,14 +183,53 @@ class SpadeTrainer:
 
     # -- forward helpers ----------------------------------------------------
 
-    def _generate(self, params, batch_stats, label, train: bool):
-        variables = {"params": params, "batch_stats": batch_stats}
-        if train:
-            out, updates = self.gen.apply(
-                variables, label, train=True, mutable=["batch_stats"]
+    def _generate(self, params, batch_stats, label, train: bool,
+                  real=None, rng=None):
+        """Generator forward.  Non-VAE: label-conditioned as before.  VAE
+        (pix2pix_model.py:135-150): encode ``real`` -> (mu, logvar),
+        reparameterise with ``rng`` (mu alone when rng is None — the
+        deterministic eval path), feed z to the generator.  Returns
+        (fake, new_batch_stats, kld_aux) with kld_aux = (mu, logvar) or
+        None."""
+        if self.enc is None:
+            variables = {"params": params, "batch_stats": batch_stats}
+            if train:
+                out, updates = self.gen.apply(
+                    variables, label, train=True, mutable=["batch_stats"]
+                )
+                return out, updates["batch_stats"], None
+            return self.gen.apply(variables, label, train=False), batch_stats, None
+
+        evars = {"params": params["enc"], "batch_stats": batch_stats["enc"]}
+        if real is None:
+            mu = logvar = None
+            z = None
+            new_e_stats = batch_stats["enc"]
+        elif train:
+            (mu, logvar), eupd = self.enc.apply(
+                evars, real, train=True, mutable=["batch_stats"]
             )
-            return out, updates["batch_stats"]
-        return self.gen.apply(variables, label, train=False), batch_stats
+            new_e_stats = eupd["batch_stats"]
+        else:
+            mu, logvar = self.enc.apply(evars, real, train=False)
+            new_e_stats = batch_stats["enc"]
+        if mu is not None:
+            if rng is not None:
+                eps = jax.random.normal(rng, mu.shape, mu.dtype)
+                z = mu + jnp.exp(0.5 * logvar) * eps
+            else:
+                z = mu
+        gvars = {"params": params["gen"], "batch_stats": batch_stats["gen"]}
+        if train:
+            out, gupd = self.gen.apply(
+                gvars, label, z, train=True, mutable=["batch_stats"]
+            )
+            new_g_stats = gupd["batch_stats"]
+        else:
+            out = self.gen.apply(gvars, label, z, train=False)
+            new_g_stats = batch_stats["gen"]
+        new_stats = {"gen": new_g_stats, "enc": new_e_stats}
+        return out, new_stats, (None if mu is None else (mu, logvar))
 
     def _discriminate(self, d_params, d_stats, label, fake, real, train: bool):
         """One concatenated batch so normalization statistics are shared
@@ -198,9 +260,15 @@ class SpadeTrainer:
 
     @functools.partial(jax.jit, static_argnums=0)
     def g_step(self, state: TrainState, label: jax.Array, real: jax.Array):
+        rng = (
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
+            if self.cfg.use_vae else None
+        )
+
         def loss_fn(g_params):
-            fake, new_stats = self._generate(
-                g_params, state.g_batch_stats, label, train=True
+            fake, new_stats, kld_aux = self._generate(
+                g_params, state.g_batch_stats, label, train=True,
+                real=real, rng=rng,
             )
             fake_feats, real_feats, _ = self._discriminate(
                 state.d_params, state.d_batch_stats, label, fake, real, train=False
@@ -217,8 +285,15 @@ class SpadeTrainer:
                 if self.cfg.use_vgg
                 else 0.0
             )
-            total = l_gan + l_fm + l_vgg
-            return total, (new_stats, {"g_gan": l_gan, "g_fm": l_fm, "g_vgg": l_vgg})
+            l_kld = (
+                kld_loss(*kld_aux) * self.cfg.lambda_kld
+                if kld_aux is not None else 0.0
+            )
+            total = l_gan + l_fm + l_vgg + l_kld
+            logs = {"g_gan": l_gan, "g_fm": l_fm, "g_vgg": l_vgg}
+            if kld_aux is not None:
+                logs["g_kld"] = l_kld
+            return total, (new_stats, logs)
 
         (loss, (new_stats, logs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -239,8 +314,15 @@ class SpadeTrainer:
 
     @functools.partial(jax.jit, static_argnums=0)
     def d_step(self, state: TrainState, label: jax.Array, real: jax.Array):
-        fake, _ = self._generate(
-            state.g_params, state.g_batch_stats, label, train=False
+        rng = (
+            jax.random.fold_in(
+                jax.random.PRNGKey(self.seed ^ 0x5EED), state.step
+            )
+            if self.cfg.use_vae else None
+        )
+        fake, _, _ = self._generate(
+            state.g_params, state.g_batch_stats, label, train=False,
+            real=real, rng=rng,
         )
         fake = jax.lax.stop_gradient(fake)
 
@@ -263,9 +345,14 @@ class SpadeTrainer:
         return state, {"d_total": loss}
 
     @functools.partial(jax.jit, static_argnums=0)
-    def infer(self, state: TrainState, label: jax.Array) -> jax.Array:
-        fake, _ = self._generate(
-            state.g_params, state.g_batch_stats, label, train=False
+    def infer(self, state: TrainState, label: jax.Array,
+              real: jax.Array | None = None) -> jax.Array:
+        """Inference.  With use_vae, ``real`` (a style image) is encoded and
+        its deterministic mu drives the generator (the reference's inference
+        mode also encodes when opt.use_vae, pix2pix_model.py:93-100); without
+        one the generator runs from z = 0."""
+        fake, _, _ = self._generate(
+            state.g_params, state.g_batch_stats, label, train=False, real=real
         )
         return fake
 

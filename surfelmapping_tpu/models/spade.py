@@ -108,6 +108,8 @@ class SPADEGenerator(nn.Module):
     crop_size: int = 256
     aspect_ratio: float = 1.0
     axis_name: str | None = None
+    use_vae: bool = False
+    z_dim: int = 256
 
     @property
     def latent_hw(self) -> tuple[int, int]:
@@ -117,12 +119,20 @@ class SPADEGenerator(nn.Module):
         return sh, sw
 
     @nn.compact
-    def __call__(self, seg: jax.Array, train: bool = True) -> jax.Array:
+    def __call__(self, seg: jax.Array, z: jax.Array | None = None,
+                 train: bool = True) -> jax.Array:
         nf = self.ngf
         sh, sw = self.latent_hw
 
-        x = _resize_nearest(seg, sh, sw)
-        x = nn.Conv(16 * nf, (3, 3), padding=1, name="fc")(x)
+        if self.use_vae:
+            # VAE head (generator.py:44-55): dense z -> the 16nf latent grid
+            if z is None:
+                z = jnp.zeros((seg.shape[0], self.z_dim), seg.dtype)
+            x = nn.Dense(16 * nf * sh * sw, name="fc_vae")(z)
+            x = x.reshape(seg.shape[0], sh, sw, 16 * nf)
+        else:
+            x = _resize_nearest(seg, sh, sw)
+            x = nn.Conv(16 * nf, (3, 3), padding=1, name="fc")(x)
 
         def up(t):
             return _resize_nearest(t, t.shape[1] * 2, t.shape[2] * 2)

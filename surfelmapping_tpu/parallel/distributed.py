@@ -119,14 +119,22 @@ def spawn_cpu_processes(
     script: str,
     num_processes: int,
     devices_per_process: int,
-    port: int = 17652,
+    port: int | None = None,
     timeout: float = 600.0,
     extra_env: dict | None = None,
 ) -> list[subprocess.CompletedProcess]:
     """Run ``script`` (a python file path) in ``num_processes`` local
     processes, each with ``devices_per_process`` virtual CPU devices and the
     coordinator env configured — a real multi-controller JAX job on one
-    machine.  Returns the completed processes (raises on any failure)."""
+    machine.  ``port=None`` binds an ephemeral coordinator port so two
+    concurrent jobs on one host never collide.  Returns the completed
+    processes (raises on any failure)."""
+    if port is None:
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
     procs = []
     for pid in range(num_processes):
         env = dict(os.environ)

@@ -46,9 +46,9 @@ from ..ops.active import (
     fuse_append_shard,
     gather_active,
     index_candidates,
-    index_resolve,
     plan_active_blocks,
 )
+from ..ops.pallas_zbuf import zbuffer_argmin_auto
 from ..ops.preprocess import preprocess_frame, remove_movings
 from ..ops.transforms import compose, invert_se3
 from ..surfels import SurfelMap
@@ -172,16 +172,19 @@ def _shard_step_body(
     )
 
     # ---- 3. distributed index map (collectives #1 and #2) ----------------
+    # Local z-buffer + winner id resolve in ONE Pallas pass on TPU
+    # (ops/pallas_zbuf.py; XLA fallback elsewhere), then the cross-device
+    # lexicographic (key, global id) min via two pmins.  at.global_id is
+    # monotone in candidate index (blocks gathered ascending), so the
+    # kernel's min-candidate-index tie-break equals the reference's
+    # min-global-id tie-break after translation.
     zkey, fpix = index_candidates(at, T_inv, time, cam, p, gid_offset=gid0)
-    zbuf_local = jnp.full((num_pix,), INT32_MAX, jnp.int32).at[fpix].min(
-        zkey, mode="drop"
-    )
+    zbuf_local, idx_local = zbuffer_argmin_auto(zkey, fpix, num_pix)
     zbuf = jax.lax.pmin(zbuf_local, AXIS)
-    global_ids = at.global_id + gid0
-    id_raw = index_resolve(
-        zkey, fpix, global_ids, num_pix, depth_buf=zbuf, empty_to_minus1=False
-    )
-    id_flat = jax.lax.pmin(id_raw, AXIS)
+    win = (zbuf_local == zbuf) & (zbuf_local != INT32_MAX)
+    safe_idx = jnp.clip(idx_local, 0, at.size - 1)
+    gid_win = jnp.where(win, at.global_id[safe_idx] + gid0, INT32_MAX)
+    id_flat = jax.lax.pmin(gid_win, AXIS)
     id_flat = jnp.where(id_flat == INT32_MAX, -1, id_flat)
 
     # ---- 4. association against the gathered ACTIVE table ----------------
@@ -460,18 +463,41 @@ class ShardedMapper:
 
     # -- sync / verify / repair -------------------------------------------
 
+    def _read_pending(self) -> np.ndarray:
+        """ONE stacked fixed-shape transfer of every pending stat the sync
+        needs: rows of [peak_active, dropped, tail_per_dev..., live_per_dev
+        ...].  Per-stat ``int(jnp.max(...))`` reads each pay a full tunnel
+        round trip on a deferred-dispatch backend (the poison the single-chip
+        ``_repair_overflow`` batches away); padding to sync_every rows keeps
+        the stack a single cached executable."""
+        rows = [
+            jnp.concatenate([
+                jnp.stack([jnp.max(s["active_per_dev"]), s["dropped"]]),
+                s["tail_per_dev"],
+                s["live_per_dev"],
+            ])
+            for s in self._pending_stats
+        ]
+        k = len(rows)
+        pad = max(1, self.sync_every) - k
+        rows = rows + [rows[0]] * max(pad, 0)
+        return np.asarray(jnp.stack(rows))[:k]
+
     def _sync(self) -> None:
         """Drain pending stats; verify the window (budget truncation + drops)
         and repair by replay with a grown budget, exactly like the
-        single-chip _repair_overflow."""
+        single-chip _repair_overflow.  All device reads ride ONE stacked
+        transfer per attempt (see :meth:`_read_pending`)."""
+        rows = None
         for _ in range(32):
             if not self._window:
                 break
-            peaks = [int(jnp.max(s["active_per_dev"])) for s in self._pending_stats]
+            rows = self._read_pending()
+            peaks = rows[:, 0].astype(np.int64)
             effs = [eff for (_, eff) in self._window]
             if all(a <= e for a, e in zip(peaks, effs)):
                 break
-            peak = max(peaks)
+            peak = int(peaks.max())
             while self.active_blocks < peak:
                 self.active_blocks *= 2
             state = self._chk
@@ -483,19 +509,22 @@ class ShardedMapper:
                 self._window[i] = (inp, eff)
             self.state = state
             self.last_depth = last_depth
+            rows = None
         else:
             raise RuntimeError("sharded budget repair did not converge (bug)")
 
-        dropped = sum(int(s["dropped"]) for s in self._pending_stats)
-        if dropped:
-            raise RuntimeError(
-                f"sharded append dropped {dropped} surfels — pre-growth "
-                "margin violated (bug)"
-            )
         if self._pending_stats:
-            last = self._pending_stats[-1]
-            self._tails = np.asarray(last["tail_per_dev"], np.int64)
-            self._live = np.asarray(last["live_per_dev"], np.int64)
+            if rows is None:
+                rows = self._read_pending()
+            dropped = int(rows[:, 1].sum())
+            if dropped:
+                raise RuntimeError(
+                    f"sharded append dropped {dropped} surfels — pre-growth "
+                    "margin violated (bug)"
+                )
+            D = self.n_devices
+            self._tails = rows[-1, 2:2 + D].astype(np.int64)
+            self._live = rows[-1, 2 + D:2 + 2 * D].astype(np.int64)
             dead = int(self._tails.sum() - self._live.sum())
             if dead > self.compact_dead_frac * self.capacity:
                 self.state = self._compactor(self.state)
@@ -514,6 +543,51 @@ class ShardedMapper:
         """Gathered, compacted single-map view (checkpoint / render)."""
         self._sync()
         return gather_sharded_map(self.state, self.n_devices)
+
+    def save_map(self, path: str, start_id: int = 0, end_id: int = 0) -> None:
+        """Gather every shard's live prefix and write the reference binary
+        map format (same bytes a single-chip run would produce for the same
+        surfel set; shard interleaving changes surfel ORDER only)."""
+        from ..surfels import save_map as _save
+
+        _save(self.smap(), path, start_id, end_id)
+
+    def reset(self) -> None:
+        """Clear the model (keep the reference frame) — the sharded
+        counterpart of SurfelMapper.reset."""
+        self.state = jax.device_put(
+            empty_sharded(self.capacity, self.n_devices),
+            state_sharding(self.mesh),
+        )
+        self.tick = 0
+        self._window = []
+        self._pending_stats = []
+        self._chk = None
+        self._since_sync = 0
+        self._tails = np.zeros(self.n_devices, np.int64)
+
+    def active_table(self, pose):
+        """In-frustum active table for ICP/BA at ``pose`` (camera-to-world).
+
+        The sharded map has no single-chip block layout, so this gathers the
+        live surfels (a host sync) and runs the same plan/gather machinery
+        the single-chip mapper uses.  Cost: one cross-shard gather per call —
+        fine for a per-frame ICP refine, but callers batching many poses
+        should reuse one table while frusta overlap."""
+        from ..ops.active import gather_active as _ga
+        from ..surfels import resize_map
+
+        pose = jnp.asarray(np.asarray(pose), jnp.float32)
+        smap = self.smap()
+        bs = self.block_size
+        cap = -(-max(int(smap.count), 1) // bs) * bs
+        smap = resize_map(smap, cap)
+        G = cap // bs
+        T_inv = invert_se3(pose)
+        blk, n_active = plan_active_blocks(
+            smap, T_inv, self.cam, self.params, G, bs
+        )
+        return _ga(smap, blk, bs)
 
     # -- frame ingestion ---------------------------------------------------
 

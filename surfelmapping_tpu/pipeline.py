@@ -268,6 +268,11 @@ class SurfelMapper:
         self.ref_frame_set = False
         self.history_poses: list[np.ndarray] = []
         self.last_stats: dict[str, Any] = {}
+        # host-event observability: costly out-of-band events that explain
+        # throughput anomalies (window replays, budget growth, compaction,
+        # capacity growth) — read by the dip probe / --profile
+        self.events = {"replays": 0, "budget_growths": 0, "compacts": 0,
+                       "capacity_growths": 0, "peak_active": 0}
         self._cached_count = 0   # live surfels (tombstones excluded)
         self._cached_tail = 0    # allocation cursor (smap.count)
         self._since_sync = 0
@@ -307,11 +312,23 @@ class SurfelMapper:
         tombstones (conf <= 0) reclaimed lazily (ops/active.py).  Reading
         this property drains pending device flags and compacts, so external
         consumers always see exactly what the reference's per-frame
-        back-mapping would have produced (same surfels, same order)."""
+        back-mapping would have produced (same surfels, same order).
+
+        LIFETIME: the returned map aliases the live internal buffers, and
+        ``process_frame`` DONATES them to XLA — the next frame invalidates
+        any map read here (``np.asarray`` on a stale reference raises
+        "Array has been deleted").  Consume it before the next frame, or
+        take :meth:`snapshot` to hold one across frames."""
         self._refresh_counts()
         if self._cached_tail != self._cached_count:
             self._compact_now()
         return self._smap
+
+    def snapshot(self) -> SurfelMap:
+        """A defensive deep copy of :attr:`smap` that survives donation:
+        safe to hold across subsequent ``process_frame`` calls (GUI /
+        metrics loops).  Costs one device-side copy of the map columns."""
+        return jax.tree_util.tree_map(jnp.copy, self.smap)
 
     @smap.setter
     def smap(self, value: SurfelMap) -> None:
@@ -332,6 +349,7 @@ class SurfelMapper:
         return scalars + [scalars[0]] * max(pad, 0)
 
     def _compact_now(self) -> None:
+        self.events["compacts"] += 1
         self._smap = compact(self._smap)
         self._cached_tail = int(self._smap.count)
         assert self._cached_tail == self._cached_count, (
@@ -364,11 +382,16 @@ class SurfelMapper:
                 : len(self._pending_active)
             ].tolist()
             effs = [eff for (_, eff) in self._window]
+            self.events["peak_active"] = max(
+                self.events["peak_active"], max(acts)
+            )
             if all(a <= e for a, e in zip(acts, effs)):
                 return
             peak = max(acts)
+            self.events["replays"] += 1
             while self.active_blocks < peak:
                 self.active_blocks *= 2
+                self.events["budget_growths"] += 1
             # replay consumes (donates) its starting map — copy the retained
             # checkpoint so a further repair round can replay again
             smap = jax.tree.map(jnp.copy, self._chk)
@@ -483,6 +506,23 @@ class SurfelMapper:
                 return at
             while self.active_blocks < n:
                 self.active_blocks *= 2
+
+    def local_model(self, rgb, depth, semantic, pose) -> SurfelMap:
+        """The frame's UNFUSED local surfel cloud in world frame — the
+        reference's per-frame inspection surface
+        (GlobalModel::getLocalSurfelModel + genLSM.vert/.geom,
+        src/SurfelMapping.cpp:200-210 / src/GlobalModel.cpp:1077-1176).
+        Every valid pixel becomes a surfel in reference uv column-major
+        lattice order; nothing is associated or written to the map.  Used by
+        the GUI's local-model panel mode and debugging."""
+        from .ops.local_model import local_surfel_model
+
+        rgb, depth, semantic, pose = self._to_device(rgb, depth, semantic, pose)
+        depth_m = metricize_depth(depth, self.cam, self.params)
+        return local_surfel_model(
+            depth_m, rgb, semantic, pose, jnp.float32(self.tick),
+            self.cam, self.params,
+        )
 
     # -- frame ingestion ----------------------------------------------------
 

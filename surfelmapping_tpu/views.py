@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import CameraIntrinsics
-from .ops.splat import splat_render
 from .surfels import SurfelMap
 
 
@@ -83,6 +82,38 @@ def s_shaped_views(
         theta = -np.cos(total / period) * max_theta
         T = _translate(x_off, 0.0, 0.0) @ _yaw_about_minus_y(theta)
         out.append((v @ T).astype(np.float32))
+    return out
+
+
+def overview_views(
+    base_views: list[np.ndarray] | np.ndarray,
+    lift: float = 5.0,
+    back: float = 1.0,
+) -> list[np.ndarray]:
+    """Overview fly-through: one lifted chase camera per trajectory frame —
+    the reference's fourth simulation path (load_map.cpp:254-287): the view
+    target is the pose position raised ``lift`` metres (y is down, so
+    ``y - 5``), the eye sits ``back`` metres behind it along the pose's
+    forward axis, and the camera looks at the target with the pose's up.
+    The reference cycles ``overviewId`` through every model pose; this
+    returns that sweep as camera-to-world matrices."""
+    out = []
+    for v in np.asarray(base_views, np.float32):
+        R = v[:3, :3]
+        fwd = R @ np.array([0, 0, 1], np.float32)
+        up = R @ np.array([0, -1, 0], np.float32)
+        view_at = v[:3, 3] + np.array([0, -lift, 0], np.float32)
+        eye = view_at - back * fwd
+        # the reference builds a GL modelview (x right, y up, z backward);
+        # convert to our camera-to-world convention (y down, z forward)
+        z_gl = eye - view_at
+        z_gl /= max(np.linalg.norm(z_gl), 1e-9)
+        x_gl = np.cross(up, z_gl)
+        x_gl /= max(np.linalg.norm(x_gl), 1e-9)
+        y_gl = np.cross(z_gl, x_gl)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x_gl, -y_gl, -z_gl, eye
+        out.append(T)
     return out
 
 

@@ -46,7 +46,10 @@ def render_map_view(
     """Render the map in one of the reference's draw modes
     (draw_surface.vert color modes): 'rgb', 'semantic', 'normal', 'mono',
     'confidence', 'depth' -> u8[H,W,3]."""
-    out = splat_render(smap, jnp.asarray(view, jnp.float32), cam, footprint=footprint)
+    # single-window path: viewer output should not crop large splats when
+    # the bucketed side table overflows on dense maps
+    out = splat_render(smap, jnp.asarray(view, jnp.float32), cam,
+                       footprint=footprint, small_footprint=None)
     ids = np.asarray(out["id"])
     hole = ids < 0
     safe = np.clip(ids, 0, smap.capacity - 1)

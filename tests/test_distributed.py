@@ -15,7 +15,7 @@ WORKER = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
 
 def test_two_process_cpu_job():
     results = spawn_cpu_processes(
-        WORKER, num_processes=2, devices_per_process=4, port=17652,
+        WORKER, num_processes=2, devices_per_process=4,  # ephemeral port
     )
     assert len(results) == 2
     for r in results:

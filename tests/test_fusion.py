@@ -201,3 +201,41 @@ def test_active_budget_overflow_is_replayed_exactly():
             np.asarray(getattr(a, col)[:n]), np.asarray(getattr(b, col)[:n]),
             err_msg=f"column {col} diverged after budget-overflow replay",
         )
+
+
+def test_local_model_lattice_order_parity():
+    """genLSM parity (GlobalModel::getLocalSurfelModel,
+    src/GlobalModel.cpp:1077-1176): every valid pixel becomes an unfused
+    world-frame surfel, packed in the reference's uv COLUMN-MAJOR lattice
+    order (u outer, v inner) — verified against an independent numpy
+    reordering of the candidate images."""
+    import jax
+
+    from surfelmapping_tpu.ops.frame_surfels import association_candidates
+    from surfelmapping_tpu.ops.preprocess import metricize_depth
+    from surfelmapping_tpu.ops.transforms import transform_planar
+
+    m = make_mapper()
+    scene = SyntheticScene(m.cam)
+    rgb, d, s, T = scene.frame(1)
+    lm = m.local_model(rgb, d, s, T)
+
+    # independent expectation: candidate images -> column-major valid pack
+    depth_m = metricize_depth(
+        jnp.asarray(np.asarray(d).astype(np.uint16)), m.cam, m.params
+    )
+    rgbf = jnp.asarray(np.asarray(rgb), jnp.float32) / 255.0
+    fs = association_candidates(
+        depth_m, rgbf, jnp.asarray(np.asarray(s).astype(np.int32)),
+        m.cam, m.params,
+    )
+    wx, _, _ = transform_planar(
+        jnp.asarray(T, jnp.float32), fs.px, fs.py, fs.pz
+    )
+    valid = np.asarray(fs.valid).T.reshape(-1)      # u outer, v inner
+    exp_x = np.asarray(wx).T.reshape(-1)[valid]
+    n = int(lm.count)
+    assert n == int(valid.sum()) and n > 0
+    np.testing.assert_allclose(np.asarray(lm.px)[:n], exp_x, rtol=1e-6)
+    # nothing beyond the live prefix
+    assert float(jnp.abs(lm.conf[n:]).max()) == 0.0

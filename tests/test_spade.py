@@ -55,6 +55,42 @@ def test_g_and_d_steps_update_params(tiny_trainer):
     assert l2diff(state2.g_params, state3.g_params) > 0
 
 
+def test_vae_mode_trains_and_infers():
+    """use_vae wiring (reference pix2pix_model.py:62-67,135-150): the
+    encoder's (mu, logvar) reparameterises z for the generator, the KLD term
+    joins the G loss, and inference works both with a style image (mu path)
+    and without one (z = 0)."""
+    cfg = SpadeConfig(
+        ngf=8, ndf=8, crop_size=64, use_vgg=False, num_d=1, n_layers_d=2,
+        use_vae=True, z_dim=16,
+    )
+    tr = SpadeTrainer(cfg, seed=0)
+    rng = np.random.default_rng(3)
+    label = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    real = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    state = tr.init_state(label, real)
+    assert "enc" in state.g_params  # encoder trains with G (G_params += E)
+
+    state, dlogs = tr.d_step(state, label, real)
+    assert np.isfinite(float(dlogs["d_total"]))
+    state2, glogs = tr.g_step(state, label, real)
+    assert "g_kld" in glogs and np.isfinite(float(glogs["g_kld"]))
+    # the encoder received gradients through z and the KLD term
+    diff = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(
+            jax.tree.leaves(state.g_params["enc"]),
+            jax.tree.leaves(state2.g_params["enc"]),
+        )
+    )
+    assert diff > 0
+
+    styled = tr.infer(state2, label, real)     # encode real -> mu
+    unstyled = tr.infer(state2, label)          # z = 0 fallback
+    assert styled.shape == unstyled.shape == (2, 64, 64, 3)
+    assert float(jnp.abs(styled - unstyled).max()) > 0  # z actually matters
+
+
 def test_random_erasing_zeroes_a_region():
     rng = np.random.default_rng(0)
     img = np.ones((64, 64, 3), np.float32)
