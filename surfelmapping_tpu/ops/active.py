@@ -387,13 +387,21 @@ def index_active(
     params: PipelineParams,
 ) -> jax.Array:
     """predictIndices (src/IndexMap.cpp:138-198) over the active table:
-    i32[H*F, W*F] image of ACTIVE slot positions (-1 = empty)."""
+    i32[H*F, W*F] image of ACTIVE slot positions (-1 = empty).
+
+    On TPU the z-buffer resolves in ONE Pallas streaming pass
+    (ops/pallas_zbuf.py, 13.6 ns/candidate) instead of the XLA 3-op
+    scatter/gather/scatter (28 ns coherent, 232 ns random); elsewhere the
+    XLA fallback keeps identical semantics (candidate ids ARE active
+    positions, so no translation is needed)."""
+    from .pallas_zbuf import zbuffer_argmin_auto
+
     factor = params.index_factor
     icam = cam.scaled(factor)
     H, W = icam.height, icam.width
     zkey, fpix = index_candidates(at, T_inv, time, cam, params)
-    aids = jnp.arange(at.size, dtype=jnp.int32)
-    return index_resolve(zkey, fpix, aids, H * W).reshape(H, W)
+    _, idbuf = zbuffer_argmin_auto(zkey, fpix, H * W)
+    return jnp.where(idbuf == INT32_MAX, -1, idbuf).reshape(H, W)
 
 
 # ---------------------------------------------------------------------------

@@ -119,8 +119,10 @@ def cull_for_render(
     project outside the padded image — or outside (1, max_depth) — can never
     contribute; the per-view render then costs O(in-frustum), not
     O(capacity).  Returns (culled_map, global_ids i32[A], n_active blocks);
-    if n_active > num_blocks the FARTHEST blocks were dropped (the caller
-    re-culls with a grown budget — load_map.py does)."""
+    if n_active > num_blocks the LOWEST-id (oldest-appended) blocks were
+    dropped — same keep-the-tail rule as plan_active_blocks; distance is
+    never computed (the caller re-culls with a grown budget — render_view
+    and load_map.py do, so truncation never survives)."""
     from .active import gather_active
 
     T_inv = invert_se3(view)
@@ -369,19 +371,19 @@ def splat_render_fast(
     ok = active & inb
     flat = jnp.where(ok, pj0 * W + pi0, num_pix)
     key = _depth_key(pz, ok)
-    ids = jnp.arange(N, dtype=jnp.int32)
 
     NC = len(classes)
-    # pass 1: per-class center z-buffers (ONE scatter over N total)
+    # per-class center z-buffers + winner ids in ONE Pallas streaming pass
+    # on TPU (ops/pallas_zbuf.py; replicas=1 because the 4-class buffer pair
+    # is 14.5 MB of VMEM — the outputs ARE the working buffers).  Novel
+    # views scatter in near-RANDOM pixel order where the XLA path costs
+    # ~232 ns per candidate vs the kernel's ~22 (measured r5) — this pass
+    # was ~2/3 of the 0.3-0.5 s render.  XLA fallback elsewhere, identical
+    # semantics (candidate index == surfel id here).
+    from .pallas_zbuf import zbuffer_argmin_auto
+
     cflat = jnp.where(ok, cls * num_pix + flat, NC * num_pix)
-    zbuf = jnp.full((NC * num_pix,), INT32_MAX, jnp.int32).at[cflat].min(
-        key, mode="drop"
-    )
-    # pass 2: per-class winner ids at centers
-    win = ok & (key == zbuf[jnp.clip(cflat, 0, NC * num_pix - 1)])
-    idbuf = jnp.full((NC * num_pix,), INT32_MAX, jnp.int32).at[
-        jnp.where(win, cflat, NC * num_pix)
-    ].min(ids, mode="drop")
+    zbuf, idbuf = zbuffer_argmin_auto(key, cflat, NC * num_pix, replicas=1)
 
     zimg = zbuf.reshape(NC, H, W)
     iimg = idbuf.reshape(NC, H, W)
