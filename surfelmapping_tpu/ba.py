@@ -410,7 +410,7 @@ class WindowedBA:
         iters: int = 3,
         odo_weight: float = 1e4,
         gauge_weight: float = 1e2,
-        prior_decay: float = 0.3,
+        prior_decay: float = 0.0,
     ):
         self.cam = cam
         self.params = params
@@ -418,10 +418,16 @@ class WindowedBA:
         self.stride = stride
         self.iters = iters
         self.odo_weight = odo_weight
-        # Marginalization-prior forgetting: each slide multiplies the carried
-        # prior by this factor.  Without it the prior accumulates information
-        # at stale linearization points indefinitely and eventually out-weighs
-        # the live map term (measured: window drifts after ~2 slides).
+        # Marginalization-prior weight: each slide multiplies the Schur
+        # prior by this factor before carrying it.  Default 0.0 DISCARDS it:
+        # unlike odometry-only sliding-window VO, every window pose here is
+        # ABSOLUTELY anchored by its frame-to-map point-to-plane terms, so
+        # the marginalization prior re-counts old map information at a stale
+        # linearization point — pure bias, no missing information.  Measured
+        # (tools/sweep_ba.py, round 5): ICP+BA rmse = 0.63x ICP-only at 0.0,
+        # but 2.3-2.7x WORSE at 0.3 (the round-4 default) and 0.7.  Set > 0
+        # only when map association can drop out for many frames and the
+        # window must coast on odometry + memory (cf. the dropout test).
         self.prior_decay = prior_decay
         self.P = subsample_count(cam, stride)
         self.win = empty_window(window, self.P)

@@ -7,11 +7,17 @@ round 3 — keep this tool honest):
   * separately-jitted per-stage timings lose XLA's cross-stage fusion and
     pay compile inside any timer warmed without a real transfer.
 
-So this tool times CUMULATIVE prefixes of the real fusion step, where each
-iteration is DATA-DEPENDENT on the previous one (a chained scalar feeds
-back into the input), with exactly one float() sync at the end — the same
-discipline as the bench's sequential frame chain.  Successive differences
-attribute the frame cost per stage.
+Two attribution modes, both timing DATA-DEPENDENT chained iterations (a
+carry scalar feeds back into the input) with exactly one float() sync:
+
+  * ``--mode prefix`` (legacy): cumulative prefixes of the step.  The
+    round-4 lesson: truncating the step CHANGES XLA's fusion/overlap, so
+    successive differences can go NEGATIVE (preprocess 46 ms -> upto
+    movings 9.9 ms) and per-stage shares are not trustworthy.
+  * ``--mode loo`` (leave-one-out, the default): time the FULL step, then
+    the full step with ONE stage replaced by a shape-preserving identity.
+    full - loo(stage) is the stage's true marginal cost inside the real
+    overlap regime — what you would actually save by making it free.
 
 Run on the TPU: python tools/ablate_stages.py [--frames 30] [--iters 16]
 """
@@ -53,6 +59,7 @@ def main():
     ap.add_argument("--stages", default=None,
                     help="comma-separated subset (compiles are slow through "
                          "the tunnel — run in chunks)")
+    ap.add_argument("--mode", choices=["loo", "prefix"], default="loo")
     args = ap.parse_args()
 
     cam, params, cfg, mapper, frames = build_state(args.frames)
@@ -127,17 +134,71 @@ def main():
 
         return jax.jit(fn)
 
-    stages = [
-        "preprocess", "movings", "plan", "gather", "conflict",
-        "index", "assoc_cand", "associate", "full",
-    ]
-    if args.stages:
-        stages = [s for s in args.stages.split(",") if s]
-    results = {}
-    prev = 0.0
+    def leave_out(skip: str | None):
+        """The FULL step with ``skip`` replaced by a shape-preserving
+        identity; downstream stages still run on well-formed (if different)
+        data, so the measured cost keeps the real fusion/overlap regime."""
+
+        def fn(c, smap, depth_raw, rgb, sem, pose, last_depth, last_pose, time):
+            depth_raw = depth_raw + (c * 0).astype(depth_raw.dtype)
+            if skip == "preprocess":
+                # cheap stand-in with the same dtype/shape as the filtered
+                # image (the stencil chain is what's being ablated)
+                filtered = depth_raw.astype(jnp.float32) * (1.0 / 1000.0)
+            else:
+                filtered = preprocess_frame(depth_raw, sem, cam, params)
+            if skip == "movings":
+                depth_m = filtered
+            else:
+                T_c2l = compose(invert_se3(last_pose), pose)
+                depth_m = remove_movings(
+                    filtered, sem, last_depth, T_c2l, cam, params
+                )
+            T_inv = invert_se3(pose)
+            if skip == "plan":
+                blk = jnp.arange(AB, dtype=jnp.int32)
+                n_active = jnp.int32(AB)
+            else:
+                blk, n_active = A.plan_active_blocks(
+                    smap, T_inv, cam, params, AB, B
+                )
+            at = A.gather_active(smap, blk, B)  # downstream needs a table
+            if skip != "conflict":
+                at, removed = A.conflict_active(
+                    at, depth_m, sem, T_inv, cam, params,
+                    min_depth=params.near_clip, max_depth=params.far_clip,
+                    fuse_thresh=params.fuse_thresh_factor, is_clean=False,
+                )
+            else:
+                removed = jnp.int32(0)
+            if skip == "index":
+                H, W = cam.height, cam.width
+                idx_img = jnp.zeros((H, W), jnp.int32)
+            else:
+                idx_img = A.index_active(at, T_inv, time, cam, params)
+            if skip == "associate":
+                Vp = (cam.height * cam.width) // 2
+                z1 = jnp.zeros((Vp,), jnp.float32)
+                assoc = A.AssocFlat(
+                    x=z1, y=z1, z=z1, conf=z1, colorsem=z1, init_t=z1,
+                    last_t=z1, nx=z1, ny=z1, nz=z1, radius=z1,
+                    mark=jnp.full((Vp,), -10, jnp.int32),
+                )
+            else:
+                assoc = A.associate_active(
+                    depth_m, rgb, sem, idx_img, at, pose, T_inv, time, cam,
+                    params,
+                )
+            if skip == "tail":
+                return force(filtered, removed, assoc, idx_img)
+            smap2, dropped = A.fuse_append_map(smap, at, assoc, B)
+            return force(filtered, removed, smap2, dropped)
+
+        return jax.jit(fn)
+
     argv = (smap, depth_raw, rgb, sem, pose, last_depth, last_pose, t_now)
-    for st in stages:
-        f = upto(st)
+
+    def timed(f):
         c = f(jnp.float32(0), *argv)
         _ = float(c)  # forces compile + one real execution
         t0 = time.perf_counter()
@@ -145,11 +206,44 @@ def main():
         for _ in range(args.iters):
             c = f(c * 1e-30, *argv)
         _ = float(c)  # one transfer forces the whole chain
-        dt = (time.perf_counter() - t0) / args.iters * 1e3
-        results[st] = dt
-        print(f"upto {st:12s} {dt:8.2f} ms  (+{dt - prev:7.2f})", flush=True)
-        prev = dt
-    print(json.dumps({"cumulative_ms": results, "eff_blocks": AB}))
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    if args.mode == "prefix":
+        stages = [
+            "preprocess", "movings", "plan", "gather", "conflict",
+            "index", "assoc_cand", "associate", "full",
+        ]
+        if args.stages:
+            stages = [s for s in args.stages.split(",") if s]
+        results = {}
+        prev = 0.0
+        for st in stages:
+            dt = timed(upto(st))
+            results[st] = dt
+            print(f"upto {st:12s} {dt:8.2f} ms  (+{dt - prev:7.2f})",
+                  flush=True)
+            prev = dt
+        print(json.dumps({"cumulative_ms": results, "eff_blocks": AB}))
+        return
+
+    stages = ["preprocess", "movings", "plan", "conflict", "index",
+              "associate", "tail"]
+    if args.stages:
+        stages = [s for s in args.stages.split(",") if s]
+    full_ms = timed(leave_out(None))
+    print(f"full step        {full_ms:8.2f} ms", flush=True)
+    results = {"full": full_ms}
+    marginal = {}
+    for st in stages:
+        dt = timed(leave_out(st))
+        results[f"without_{st}"] = dt
+        marginal[st] = full_ms - dt
+        print(f"without {st:10s} {dt:8.2f} ms  (marginal {full_ms - dt:7.2f})",
+              flush=True)
+    print(json.dumps({
+        "mode": "leave_one_out", "ms": results, "marginal_ms": marginal,
+        "eff_blocks": AB,
+    }))
 
 
 if __name__ == "__main__":

@@ -79,14 +79,41 @@ def main():
             hits = np.asarray(out["semantic"]) > 0
             psnr_mid = psnr(rendered, np.asarray(rgb_mid, np.float64) / 255.0, hits)
 
-    print(json.dumps({
+    doc = {
         "metric": "novel_view_render_ms",
         "surfels": int(count),
         "resolution": f"{cam.width}x{cam.height}",
         "views": results,
         "psnr_on_hits_mid_db": round(psnr_mid, 2),
         "backend": jax.default_backend(),
-    }))
+    }
+
+    if os.environ.get("BENCH_RENDER_EXACT"):
+        # crop-cost quantification (VERDICT r4 #10): the fast splatter
+        # quantizes footprints to classes and crops splats beyond the last
+        # class (large_overflow); compare against the exact ray/plane
+        # renderer at a LARGER footprint so neither cropping nor class
+        # rounding hides in the reference image.
+        v = views["mapping_pose_mid"]
+        fast = render_view(smap, v, cam, footprint=5, method="fast")
+        exact = render_view(smap, v, cam, footprint=8, method="exact")
+        fr = np.asarray(fast["rgb"])
+        er = np.asarray(exact["rgb"])
+        both = (np.asarray(fast["semantic"]) > 0) & (
+            np.asarray(exact["semantic"]) > 0
+        )
+        doc["fast_vs_exact"] = {
+            "psnr_db_on_mutual_hits": round(psnr(fr, er, both), 2),
+            "max_abs_err": round(float(np.abs(fr - er).max()), 4),
+            "hit_fraction_fast": round(
+                float((np.asarray(fast["semantic"]) > 0).mean()), 4),
+            "hit_fraction_exact": round(
+                float((np.asarray(exact["semantic"]) > 0).mean()), 4),
+            "cropped_splats": int(fast["large_overflow"]),
+            "total_splats": int(count),
+        }
+
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -29,7 +29,8 @@ if "--small" in sys.argv:
 import numpy as np
 
 
-def build(frames, cam, params, scene, poses=None, icp=False, ba=False):
+def build(frames, cam, params, scene, poses=None, icp=False, ba=False,
+          ba_kwargs=None):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +50,7 @@ def build(frames, cam, params, scene, poses=None, icp=False, ba=False):
     if ba:
         from surfelmapping_tpu.ba import WindowedBA
 
-        bao = WindowedBA(cam, params, window=5)
+        bao = WindowedBA(cam, params, **(ba_kwargs or {"window": 5}))
 
     est = []
     for i in range(frames):
