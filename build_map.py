@@ -40,6 +40,10 @@ def main(argv=None) -> int:
                          "— drives the ICP/BA parity experiments")
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="use N procedural frames instead of a dataset")
+    ap.add_argument("--synthetic-cam", choices=["kitti", "small"],
+                    default="kitti",
+                    help="synthetic camera: full KITTI resolution or a "
+                         "256x128 smoke-test camera (CI / quick runs)")
     ap.add_argument("--capacity", type=int, default=1 << 22)
     ap.add_argument("--devices", type=int, default=1, metavar="D",
                     help="run the block-sharded engine over a D-device mesh "
@@ -102,9 +106,17 @@ def main(argv=None) -> int:
         params = dataclasses.replace(params, fuse_thresh_factor=args.fuse_thresh)
 
     if args.synthetic:
-        from surfelmapping_tpu.io.synthetic import SyntheticScene, kitti_cam
+        from surfelmapping_tpu.io.synthetic import (
+            SyntheticScene,
+            kitti_cam,
+            tiny_cam,
+        )
 
-        cam = kitti_cam()
+        if args.synthetic_cam == "small":
+            # >100 px wide so the 80 px stereo border still ingests columns
+            cam = tiny_cam(256, 128)
+        else:
+            cam = kitti_cam()
         scene = SyntheticScene(cam)
         n = args.synthetic
 

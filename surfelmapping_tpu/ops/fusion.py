@@ -88,19 +88,58 @@ def conflict_pass(
     return jnp.where(hit, smap.conf - p.conflict_conf_decrement, smap.conf)
 
 
-def compact(smap: SurfelMap) -> SurfelMap:
+def compact(smap: SurfelMap, prefix: int | None = None) -> SurfelMap:
     """Back-mapping compaction: drop rows with conf <= 0, preserve order
     (back_map.geom keeps conf > 0, src/GlobalModel.cpp:517-579).  The
     persisted mark column resets to 0 there; marks are not stored in the SoA
-    map so nothing to reset."""
-    keep = smap.live_mask() & (smap.conf > 0.0)
+    map so nothing to reset.
+
+    ``prefix`` (static) restricts the scatters to the first ``prefix``
+    slots: every written slot lives below the allocation cursor, so a
+    pow2 bucket >= tail compacts identically at a fraction of the cost (the
+    full-capacity form scattered 11 x capacity elements — ~1.4 s at a 16 M
+    allocation on TPU, THE mid-run throughput dip of BENCH_r04; the caller
+    picks the bucket host-side, see pipeline._compact_now)."""
+    cap = smap.capacity
+    if prefix is None or prefix >= cap:
+        keep = smap.live_mask() & (smap.conf > 0.0)
+        dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        new_count = jnp.maximum(dest[-1] + 1, 0).astype(jnp.int32)
+        idx = jnp.where(keep, dest, cap)  # dropped -> out of range
+
+        def scat(src):
+            return jnp.zeros_like(src).at[idx].set(src, mode="drop")
+
+        return SurfelMap(
+            px=scat(smap.px), py=scat(smap.py), pz=scat(smap.pz),
+            conf=scat(smap.conf),
+            colorsem=scat(smap.colorsem),
+            init_t=scat(smap.init_t), last_t=scat(smap.last_t),
+            nx=scat(smap.nx), ny=scat(smap.ny), nz=scat(smap.nz),
+            radius=scat(smap.radius),
+            count=new_count,
+        )
+
+    def head(a):
+        return jax.lax.slice_in_dim(a, 0, prefix)
+
+    conf_h = head(smap.conf)
+    keep = (
+        jnp.arange(prefix, dtype=jnp.int32) < smap.count
+    ) & (conf_h > 0.0)
     dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
     new_count = jnp.maximum(dest[-1] + 1, 0).astype(jnp.int32)
-    idx = jnp.where(keep, dest, smap.capacity)  # dropped -> out of range
+    idx = jnp.where(keep, dest, prefix)
 
     def scat(src):
-        return jnp.zeros_like(src).at[idx].set(src, mode="drop")
+        packed = jnp.zeros((prefix,), src.dtype).at[idx].set(
+            head(src), mode="drop"
+        )
+        return jax.lax.dynamic_update_slice_in_dim(src, packed, 0, axis=0)
 
+    # NOTE on the suffix: slots >= prefix are beyond the allocation cursor
+    # (prefix >= tail) and were never written — they are already zeros, so
+    # overwriting only the head keeps the invariant.
     return SurfelMap(
         px=scat(smap.px), py=scat(smap.py), pz=scat(smap.pz),
         conf=scat(smap.conf),

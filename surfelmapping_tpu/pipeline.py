@@ -349,8 +349,18 @@ class SurfelMapper:
         return scalars + [scalars[0]] * max(pad, 0)
 
     def _compact_now(self) -> None:
+        # compact only the pow2 bucket covering the allocation cursor: every
+        # written slot is below the tail, so the result is identical and the
+        # 11 column scatters cost O(bucket) not O(capacity) (the full-width
+        # form's ~1.4 s at a 16 M allocation WAS the BENCH_r04 mid-run dip)
         self.events["compacts"] += 1
-        self._smap = compact(self._smap)
+        cfg = self.map_config
+        bucket = cfg.rounded_capacity(max(self._cached_tail, 1))
+        b2 = cfg.block_size
+        while b2 < bucket:
+            b2 *= 2
+        bucket = min(b2, self._smap.capacity)
+        self._smap = compact(self._smap, prefix=bucket)
         self._cached_tail = int(self._smap.count)
         assert self._cached_tail == self._cached_count, (
             "compaction changed the live count — tombstone accounting bug"
@@ -460,7 +470,19 @@ class SurfelMapper:
         self._since_sync = 0
         cfg = self.map_config
         dead = self._cached_tail - self._cached_count
-        if dead > cfg.compact_dead_frac * self._smap.capacity:
+        # Reclaim tombstones only under ALLOCATION PRESSURE (the cursor
+        # nearing the growth watermark), not on dead fraction alone: a
+        # pre-sized capacity absorbs tombstones for free (the active-block
+        # plan gates on conf > 0, so dead slots never re-activate blocks —
+        # measured: peak_active stayed flat at 327 across 100 frames while
+        # 5 M tombstones accumulated), whereas an eager compact is a
+        # 100s-of-ms stall in the middle of mapping (BENCH_r04's 8.7 fps
+        # band).  Growth (_maybe_grow_cached) and external reads (smap /
+        # checkpoint / clean) still compact unconditionally.
+        if (
+            dead > cfg.compact_dead_frac * self._smap.capacity
+            and self._cached_tail > 0.75 * self._smap.capacity
+        ):
             self._compact_now()
 
     def _maybe_grow_cached(self, need: int) -> None:
