@@ -49,6 +49,11 @@ def build_state(n_frames: int):
     for i in range(n_frames):
         mapper.process_frame(*frames[i])
     _ = mapper.count
+    # compact so the probed state matches the r4 snapshots (tail == live;
+    # the round-5 pressure-gated policy no longer compacts mid-run)
+    mapper._refresh_counts()
+    if mapper._cached_tail != mapper._cached_count:
+        mapper._compact_now()
     return cam, params, cfg, mapper, frames
 
 
@@ -137,7 +142,13 @@ def main():
     def leave_out(skip: str | None):
         """The FULL step with ``skip`` replaced by a shape-preserving
         identity; downstream stages still run on well-formed (if different)
-        data, so the measured cost keeps the real fusion/overlap regime."""
+        data, so the measured cost keeps the real fusion/overlap regime.
+
+        Every stand-in is DATA-DEPENDENT on purpose: a constant replacement
+        (zeros idx_img, constant assoc marks) lets XLA constant-fold the
+        downstream consumers away and the 'marginal' silently includes them
+        (first draft of this probe: marginals summed to 3.3x the full step,
+        monotone in stage position — the classic DCE tell)."""
 
         def fn(c, smap, depth_raw, rgb, sem, pose, last_depth, last_pose, time):
             depth_raw = depth_raw + (c * 0).astype(depth_raw.dtype)
@@ -148,16 +159,19 @@ def main():
             else:
                 filtered = preprocess_frame(depth_raw, sem, cam, params)
             if skip == "movings":
-                depth_m = filtered
+                # +tiny: a DISTINCT tensor, so downstream consumers of
+                # depth_m cannot CSE with consumers of filtered
+                depth_m = filtered + jnp.float32(1e-30)
             else:
                 T_c2l = compose(invert_se3(last_pose), pose)
                 depth_m = remove_movings(
                     filtered, sem, last_depth, T_c2l, cam, params
                 )
             T_inv = invert_se3(pose)
+            data_zero = (depth_raw[0, 0] * 0).astype(jnp.int32)
             if skip == "plan":
-                blk = jnp.arange(AB, dtype=jnp.int32)
-                n_active = jnp.int32(AB)
+                blk = jnp.arange(AB, dtype=jnp.int32) + data_zero
+                n_active = jnp.int32(AB) + data_zero
             else:
                 blk, n_active = A.plan_active_blocks(
                     smap, T_inv, cam, params, AB, B
@@ -170,19 +184,18 @@ def main():
                     fuse_thresh=params.fuse_thresh_factor, is_clean=False,
                 )
             else:
-                removed = jnp.int32(0)
+                removed = data_zero
             if skip == "index":
-                H, W = cam.height, cam.width
-                idx_img = jnp.zeros((H, W), jnp.int32)
+                idx = jnp.mod(depth_m.astype(jnp.int32), at.size)
+                idx_img = jnp.where(depth_m > 0, idx, -1)
             else:
                 idx_img = A.index_active(at, T_inv, time, cam, params)
             if skip == "associate":
-                Vp = (cam.height * cam.width) // 2
-                z1 = jnp.zeros((Vp,), jnp.float32)
+                v = A.checkerboard_flat(depth_m)
+                mark = jnp.where(v > 1e30, 0, -10).astype(jnp.int32)
                 assoc = A.AssocFlat(
-                    x=z1, y=z1, z=z1, conf=z1, colorsem=z1, init_t=z1,
-                    last_t=z1, nx=z1, ny=z1, nz=z1, radius=z1,
-                    mark=jnp.full((Vp,), -10, jnp.int32),
+                    x=v, y=v, z=v, conf=v, colorsem=v, init_t=v,
+                    last_t=v, nx=v, ny=v, nz=v, radius=v, mark=mark,
                 )
             else:
                 assoc = A.associate_active(
