@@ -30,6 +30,13 @@ def main(argv=None) -> int:
     ap.add_argument("--start-frame-id", type=int, default=0,
                     help="skip frames below this id (reference "
                          "single_dataset.py start_frame_id)")
+    ap.add_argument("--use-vae", action="store_true",
+                    help="checkpoint was trained with --use-vae (the "
+                         "encoder rides in g_params; inference uses the "
+                         "z = 0 prior unless --style-dir is given)")
+    ap.add_argument("--style-dir", default=None,
+                    help="with --use-vae: encode the same-named image from "
+                         "this directory as the style source (mu path)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -45,7 +52,8 @@ def main(argv=None) -> int:
     # single_dataset.py:23-40).  Output dims snap to the net's 2^5 grid and
     # the fake is resized back to the label size for compositing.
     cfg = SpadeConfig(ngf=args.ngf, crop_size=args.crop, use_vgg=False,
-                      num_d=args.num_d, n_layers_d=args.n_layers_d)
+                      num_d=args.num_d, n_layers_d=args.n_layers_d,
+                      use_vae=args.use_vae)
     trainer = SpadeTrainer(cfg)
 
     from surfelmapping_tpu.models.data import _frame_id
@@ -75,7 +83,13 @@ def main(argv=None) -> int:
             Image.open(os.path.join(args.label_dir, name)).convert("RGB")
         )
         lab = jnp.asarray(lab_u8, jnp.float32)[None] / 127.5 - 1.0
-        fake = np.asarray(trainer.infer(state, lab))[0]
+        style = None
+        if args.style_dir:
+            sty_u8 = np.asarray(
+                Image.open(os.path.join(args.style_dir, name)).convert("RGB")
+            )
+            style = jnp.asarray(sty_u8, jnp.float32)[None] / 127.5 - 1.0
+        fake = np.asarray(trainer.infer(state, lab, style))[0]
         fake_u8 = np.clip((fake + 1.0) * 127.5, 0, 255).astype(np.uint8)
         if fake_u8.shape[:2] != lab_u8.shape[:2]:
             fake_u8 = np.asarray(

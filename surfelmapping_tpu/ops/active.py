@@ -204,7 +204,11 @@ def plan_active_blocks(
     ids = jnp.where(blk_act, jnp.arange(G, dtype=jnp.int32), -1)
     ids = jnp.sort(ids)                      # inactive (-1) first, actives ascending
     chosen = ids[-num_blocks:]               # most recent blocks win on overflow
-    blk = jnp.where(chosen >= 0, chosen, G)  # G = invalid filler
+    # ACTIVE blocks first (ascending), G fillers last: consumers stream only
+    # the valid prefix (the Pallas z-buffer takes n_valid as a dynamic
+    # bound), and global_id stays monotone over the valid slots so every
+    # min-id tie-break is unchanged
+    blk = jnp.sort(jnp.where(chosen >= 0, chosen, G))
     return blk, n_active
 
 
@@ -400,7 +404,10 @@ def index_active(
     icam = cam.scaled(factor)
     H, W = icam.height, icam.width
     zkey, fpix = index_candidates(at, T_inv, time, cam, params)
-    _, idbuf = zbuffer_argmin_auto(zkey, fpix, H * W)
+    # valid slots are the table PREFIX (plan orders active blocks first), so
+    # the kernel streams only the live candidates, not the budget padding
+    n_valid = jnp.sum(at.slot_valid.astype(jnp.int32))
+    _, idbuf = zbuffer_argmin_auto(zkey, fpix, H * W, n_valid=n_valid)
     return jnp.where(idbuf == INT32_MAX, -1, idbuf).reshape(H, W)
 
 

@@ -75,16 +75,21 @@ def use_pallas_zbuf() -> bool:
 
 
 def zbuffer_argmin_auto(
-    zkey: jax.Array, fpix: jax.Array, num_pix: int, replicas: int = 2
+    zkey: jax.Array, fpix: jax.Array, num_pix: int, replicas: int = 2,
+    n_valid: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Backend-dispatched scatter-argmin z-buffer with candidate-index ids.
 
     TPU: the one-pass Pallas kernel.  Elsewhere: the XLA 3-op expression
     (scatter-min key, winner gather, scatter-min index) with identical
-    semantics.  Returns (zbuf i32[P], idbuf i32[P]); empties INT32_MAX.
+    semantics (``n_valid`` is a pure streaming bound — XLA scatters over
+    invalid keys are no-ops anyway).  Returns (zbuf i32[P], idbuf i32[P]);
+    empties INT32_MAX.
     """
     if use_pallas_zbuf():
-        return zbuffer_argmin(zkey, fpix, num_pix, replicas=replicas)
+        return zbuffer_argmin(
+            zkey, fpix, num_pix, replicas=replicas, n_valid=n_valid
+        )
     zbuf = jnp.full((num_pix,), INT32_MAX, jnp.int32).at[fpix].min(
         zkey, mode="drop"
     )
@@ -101,7 +106,7 @@ def _make_kernel(A: int, rows: int, replicas: int):
     R = replicas
     _CHUNK = R * _CHUNK_PER_R
 
-    def kernel(zkey_hbm, fpix_hbm, zout, iout, *scratch):
+    def kernel(nv_ref, zkey_hbm, fpix_hbm, zout, iout, *scratch):
         # replica 0 lives IN the output buffers (saves one 2x rows*512 B
         # VMEM pair and lets R=4 fit at KITTI resolution)
         zbufs = [zout] + list(scratch[: R - 1])
@@ -116,7 +121,11 @@ def _make_kernel(A: int, rows: int, replicas: int):
             zbufs[r][:] = init
             ibufs[r][:] = init
 
-        nchunks = A // _CHUNK
+        # dynamic bound: only the chunks covering the caller's valid prefix
+        # stream in (cull/plan order valid blocks first; the pow2 budget can
+        # otherwise make the padded tail larger than the live content)
+        nv = jnp.clip(nv_ref[0, 0], 0, A)
+        nchunks = jax.lax.div(nv + (_CHUNK - 1), _CHUNK)
 
         def chunk_body(ci, _):
             # stream this chunk's candidates into SMEM (scalar loads need
@@ -182,6 +191,7 @@ def zbuffer_argmin(
     num_pix: int,
     replicas: int = 2,
     interpret: bool = False,
+    n_valid: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One-pass scatter-argmin z-buffer.
 
@@ -196,6 +206,11 @@ def zbuffer_argmin(
         Measured TPU v5e at P=453k, A=1M: R=2 13.6 ns/cand vs the XLA
         3-op path's 28 ns (coherent order) / 232 ns (random order).
         R=1 (~22 ns) is the fallback for P too large for two pairs.
+      n_valid: optional dynamic i32 — every candidate at index >= n_valid
+        is invalid (the caller orders valid content first), and the kernel
+        streams only the covering chunks.  None = process all A.  With pow2
+        cull budgets the padded tail can exceed the live content (measured:
+        a full-budget render streamed 16.8M slots for 4.4M live surfels).
 
     Returns (zbuf i32[P], idbuf i32[P]): per-pixel min key and min candidate
     index among the minimisers; empty pixels are INT32_MAX in both.
@@ -218,6 +233,10 @@ def zbuffer_argmin(
             pltpu.SemaphoreType.DMA((2,)),
         ]
     )
+    if n_valid is None:
+        nv = jnp.full((1, 1), Ap, jnp.int32)
+    else:
+        nv = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
     # explicit VMEM budget: 2*replicas buffer planes + slack for the chunk
     # DMAs (Mosaic's default limit rejects the 14.5 MB renderer shape)
     vmem_bytes = 2 * replicas * rows * _LANES * 4 + (1 << 21)
@@ -228,6 +247,7 @@ def zbuffer_argmin(
             jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
         ),
         in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -240,5 +260,5 @@ def zbuffer_argmin(
             vmem_limit_bytes=min(vmem_bytes, 100 * (1 << 20))
         ),
         interpret=interpret,
-    )(zkey, fpix)
+    )(nv, zkey, fpix)
     return zb.reshape(-1)[:num_pix], ib.reshape(-1)[:num_pix]

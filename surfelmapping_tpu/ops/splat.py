@@ -146,7 +146,9 @@ def cull_for_render(
     ids = jnp.where(blk_act, jnp.arange(G, dtype=jnp.int32), -1)
     ids = jnp.sort(ids)
     chosen = ids[-num_blocks:]
-    blk = jnp.where(chosen >= 0, chosen, G)
+    # valid blocks first (see plan_active_blocks): the splatter streams only
+    # the live prefix through the z-buffer kernel
+    blk = jnp.sort(jnp.where(chosen >= 0, chosen, G))
     at = gather_active(smap, blk, block_size)
     culled = SurfelMap(
         px=at.x, py=at.y, pz=at.z, conf=jnp.where(at.slot_valid, at.conf, 0.0),
@@ -267,27 +269,40 @@ def splat_render(
             (lcols, lok, lsafe, footprint),
         ]
 
+    # Offset loops run as lax.scan over the (dj, di) table: a Python loop
+    # unrolls (2R+1)^2 scatter stages whose recomputed intersection
+    # intermediates XLA keeps live simultaneously — footprint 8 at a 4.4 M
+    # map planned 79.9 GB of HBM (measured r5).  The scan bounds residency
+    # to ONE offset's tensors.
+    def offsets_of(R):
+        d = jnp.arange(-R, R + 1, dtype=jnp.int32)
+        return jnp.stack(
+            [jnp.repeat(d, 2 * R + 1), jnp.tile(d, 2 * R + 1)], axis=1
+        )
+
     # ---- pass 1: depth z-buffer -----------------------------------------
     depth_buf = jnp.full((num_pix,), INT32_MAX, jnp.int32)
     for c, okb, ids, R in buckets:
-        for dj in range(-R, R + 1):
-            for di in range(-R, R + 1):
-                flat, t, ok = offset_hit(c, okb, dj, di)
-                depth_buf = depth_buf.at[flat].min(_depth_key(t, ok), mode="drop")
+        def p1(buf, dji, c=c, okb=okb):
+            flat, t, ok = offset_hit(c, okb, dji[0], dji[1])
+            return buf.at[flat].min(_depth_key(t, ok), mode="drop"), None
+
+        depth_buf, _ = jax.lax.scan(p1, depth_buf, offsets_of(R))
 
     # ---- pass 2: winner ids (ties -> smallest id; GL leaves ties to draw
     # order).  Intersections recomputed — cheaper than retaining
     # (2R+1)^2 hit tensors in HBM.
     id_buf = jnp.full((num_pix,), INT32_MAX, jnp.int32)
     for c, okb, ids, R in buckets:
-        for dj in range(-R, R + 1):
-            for di in range(-R, R + 1):
-                flat, t, ok = offset_hit(c, okb, dj, di)
-                key = _depth_key(t, ok)
-                win = ok & (key == depth_buf[jnp.clip(flat, 0, num_pix - 1)])
-                id_buf = id_buf.at[jnp.where(win, flat, num_pix)].min(
-                    ids, mode="drop"
-                )
+        def p2(buf, dji, c=c, okb=okb, ids=ids):
+            flat, t, ok = offset_hit(c, okb, dji[0], dji[1])
+            key = _depth_key(t, ok)
+            win = ok & (key == depth_buf[jnp.clip(flat, 0, num_pix - 1)])
+            return buf.at[jnp.where(win, flat, num_pix)].min(
+                ids, mode="drop"
+            ), None
+
+        id_buf, _ = jax.lax.scan(p2, id_buf, offsets_of(R))
 
     hole = id_buf == INT32_MAX
     wid = jnp.where(hole, 0, id_buf)
@@ -310,6 +325,7 @@ def splat_render_fast(
     max_depth: float = 200.0,
     footprint: int = 5,
     classes: tuple[int, ...] = (1, 2, 3, 5),
+    n_valid: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """Point-sprite splatter: each surfel scatters ONCE (depth pass + id
     pass), and the footprint spreading happens as dense disc-shaped
@@ -383,7 +399,9 @@ def splat_render_fast(
     from .pallas_zbuf import zbuffer_argmin_auto
 
     cflat = jnp.where(ok, cls * num_pix + flat, NC * num_pix)
-    zbuf, idbuf = zbuffer_argmin_auto(key, cflat, NC * num_pix, replicas=1)
+    zbuf, idbuf = zbuffer_argmin_auto(
+        key, cflat, NC * num_pix, replicas=1, n_valid=n_valid
+    )
 
     zimg = zbuf.reshape(NC, H, W)
     iimg = idbuf.reshape(NC, H, W)
@@ -434,6 +452,7 @@ def render_view(
     block_size: int = 2048,
     start_blocks: int | None = None,
     method: str = "fast",
+    classes: tuple[int, ...] = (1, 2, 3, 5),
 ) -> dict[str, jax.Array]:
     """Cull + render, growing the cull budget until nothing is truncated
     (host loop; each budget size is one jit executable).  The ``id`` image
@@ -479,7 +498,7 @@ def render_view(
     while True:
         out, n_active = _cull_and_render(
             smap, view, cam, budget, block_size, max_depth, footprint,
-            small_footprint, method,
+            small_footprint, method, classes,
         )
         if int(n_active) <= budget or budget >= G:
             out["n_active_blocks"] = n_active
@@ -493,7 +512,7 @@ def render_view(
     jax.jit,
     static_argnames=(
         "cam", "num_blocks", "block_size", "max_depth", "footprint",
-        "small_footprint", "method",
+        "small_footprint", "method", "classes",
     ),
 )
 def _cull_and_render(
@@ -506,13 +525,21 @@ def _cull_and_render(
     footprint: int,
     small_footprint: int | None,
     method: str,
+    classes: tuple[int, ...] = (1, 2, 3, 5),
 ):
     culled, gids, n_active = cull_for_render(
         smap, view, cam, num_blocks, block_size, max_depth,
         margin=footprint + 2,
     )
     if method == "fast":
-        out = splat_render_fast(culled, view, cam, max_depth, footprint)
+        # the culled table orders valid blocks first: stream only that
+        # prefix through the z-buffer kernel (a pow2 budget can pad the
+        # tail beyond the live content)
+        nv = jnp.minimum(n_active, num_blocks) * block_size
+        out = splat_render_fast(
+            culled, view, cam, max_depth, footprint, classes=classes,
+            n_valid=nv,
+        )
     else:
         # the exact method is the correctness/quality reference: single
         # window, no footprint buckets (the bucket side-table budget scales

@@ -179,7 +179,10 @@ def _shard_step_body(
     # kernel's min-candidate-index tie-break equals the reference's
     # min-global-id tie-break after translation.
     zkey, fpix = index_candidates(at, T_inv, time, cam, p, gid_offset=gid0)
-    zbuf_local, idx_local = zbuffer_argmin_auto(zkey, fpix, num_pix)
+    n_valid = jnp.sum(at.slot_valid.astype(jnp.int32))
+    zbuf_local, idx_local = zbuffer_argmin_auto(
+        zkey, fpix, num_pix, n_valid=n_valid
+    )
     zbuf = jax.lax.pmin(zbuf_local, AXIS)
     win = (zbuf_local == zbuf) & (zbuf_local != INT32_MAX)
     safe_idx = jnp.clip(idx_local, 0, at.size - 1)

@@ -64,6 +64,27 @@ def test_min_id_tie_break_and_padding():
     assert (ib[empties] == INT32_MAX).all()
 
 
+def test_n_valid_prefix_bound():
+    """With n_valid, only the valid prefix must be streamed; the (invalid)
+    tail beyond it may be skipped entirely, and a partial last chunk is
+    handled (every candidate >= n_valid is invalid by contract)."""
+    rng = np.random.default_rng(2)
+    P = 2000
+    A = 8192
+    nv = 3000  # not a chunk multiple
+    zkey = np.full(A, INT32_MAX, np.int32)
+    fpix = np.full(A, P, np.int32)
+    zkey[:nv] = rng.integers(0, 1 << 20, nv)
+    fpix[:nv] = rng.integers(0, P, nv)
+    zb, ib = zbuffer_argmin(
+        jnp.asarray(zkey), jnp.asarray(fpix), P, replicas=2,
+        interpret=True, n_valid=jnp.int32(nv),
+    )
+    zr, ir = _xla_reference(jnp.asarray(zkey), jnp.asarray(fpix), P)
+    np.testing.assert_array_equal(np.asarray(zb), zr)
+    np.testing.assert_array_equal(np.asarray(ib), ir)
+
+
 def test_non_chunk_multiple_input_is_padded():
     P = 300
     rng = np.random.default_rng(1)

@@ -65,13 +65,23 @@ def main():
         # warm the hinted bucket (may compile), then measure steady state
         out = render_view(smap, v, cam, footprint=5, start_blocks=hint)
         _ = np.asarray(out["rgb"])
+        # device-complete latency: force the full render with ONE scalar
+        # read (the dev tunnel makes full-image readback a separate,
+        # environment-specific cost measured below; production consumers on
+        # locally-attached chips pay PCIe, not the tunnel)
+        t0 = time.perf_counter()
+        out = render_view(smap, v, cam, footprint=5, start_blocks=hint)
+        _ = float(jnp.sum(out["rgb"]) + jnp.sum(out["depth"]))
+        steady_dev = (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
         out = render_view(smap, v, cam, footprint=5, start_blocks=hint)
         rendered = np.asarray(out["rgb"])
+        _ = np.asarray(out["semantic"])
         steady = (time.perf_counter() - t0) * 1e3
         results[name] = {
             "first_ms": round(first, 1),
-            "steady_ms": round(steady, 1),
+            "steady_device_ms": round(steady_dev, 1),
+            "steady_with_readback_ms": round(steady, 1),
             "hit_fraction": round(float(np.mean(np.asarray(out["semantic"]) > 0)), 3),
             "large_overflow": int(out["large_overflow"]),
         }
@@ -89,28 +99,42 @@ def main():
     }
 
     if os.environ.get("BENCH_RENDER_EXACT"):
-        # crop-cost quantification (VERDICT r4 #10): the fast splatter
-        # quantizes footprints to classes and crops splats beyond the last
-        # class (large_overflow); compare against the exact ray/plane
-        # renderer at a LARGER footprint so neither cropping nor class
-        # rounding hides in the reference image.
+        # Crop-cost quantification (VERDICT r4 #10), decomposed into two
+        # cheap comparisons (one giant exact footprint-8 program on the
+        # full map crashed the TPU worker — 289 scan steps over 4.4 M
+        # splats in one executable):
+        #  * crop/large-splat treatment: fast at the production classes
+        #    (1,2,3,5) vs fast at (1,3,8) — the >5 px splats render
+        #    UNCROPPED in the second (VMEM caps the class count at 3 for
+        #    an 8 px stamp);
+        #  * point-sprite approximation: fast vs the exact ray/plane
+        #    renderer at the SAME 5 px window.
         v = views["mapping_pose_mid"]
         fast = render_view(smap, v, cam, footprint=5, method="fast")
-        exact = render_view(smap, v, cam, footprint=8, method="exact")
-        fr = np.asarray(fast["rgb"])
-        er = np.asarray(exact["rgb"])
-        both = (np.asarray(fast["semantic"]) > 0) & (
-            np.asarray(exact["semantic"]) > 0
-        )
-        doc["fast_vs_exact"] = {
-            "psnr_db_on_mutual_hits": round(psnr(fr, er, both), 2),
-            "max_abs_err": round(float(np.abs(fr - er).max()), 4),
-            "hit_fraction_fast": round(
-                float((np.asarray(fast["semantic"]) > 0).mean()), 4),
-            "hit_fraction_exact": round(
-                float((np.asarray(exact["semantic"]) > 0).mean()), 4),
-            "cropped_splats": int(fast["large_overflow"]),
+        wide = render_view(smap, v, cam, footprint=8, method="fast",
+                           classes=(1, 3, 8))
+        exact = render_view(smap, v, cam, footprint=5, method="exact")
+
+        def cmp(a, b):
+            ar, br = np.asarray(a["rgb"]), np.asarray(b["rgb"])
+            both = (np.asarray(a["semantic"]) > 0) & (
+                np.asarray(b["semantic"]) > 0
+            )
+            return {
+                "psnr_db_on_mutual_hits": round(psnr(ar, br, both), 2),
+                "max_abs_err": round(float(np.abs(ar - br).max()), 4),
+                "hit_fraction_a": round(
+                    float((np.asarray(a["semantic"]) > 0).mean()), 4),
+                "hit_fraction_b": round(
+                    float((np.asarray(b["semantic"]) > 0).mean()), 4),
+            }
+
+        doc["crop_cost"] = {
+            "cropped_splats_production": int(fast["large_overflow"]),
+            "cropped_splats_wide": int(wide["large_overflow"]),
             "total_splats": int(count),
+            "fast_vs_uncropped_wide": cmp(fast, wide),
+            "fast_vs_exact_same_window": cmp(fast, exact),
         }
 
     print(json.dumps(doc))
