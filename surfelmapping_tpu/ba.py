@@ -59,6 +59,16 @@ from .ops.transforms import (
 )
 
 _EPS = 1e-12
+# Map-term evidence normalization: each frame's point-to-plane normal
+# equations are scaled by BA_EVIDENCE / n_inliers — without it the raw sum
+# grows linearly with inlier count and the same odo_weight that balanced a
+# 256x128 experiment sat ~10x too low at KITTI resolution (r5 sweeps).
+# 2048 is calibrated on the KITTI-resolution parity experiment, where it
+# makes ICP+BA BEAT ICP alone (rmse 0.0360 vs 0.0368, PARITY_r05);
+# low-resolution toy scenes have coarser per-inlier information and prefer
+# a lower effective odometry weight (tools/sweep_ba.py measures any
+# config in minutes if retuning is ever needed).
+BA_EVIDENCE = 2048.0
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +173,9 @@ def _frame_to_map_block(
     clamp, Huber): returns (A 6x6, b 6, n_inliers).  ``stride`` must match
     the grid ``v_c`` was subsampled on (subsample_frame)."""
     T_inv = invert_se3(pose)
-    idx = index_active(at, T_inv, time, cam, params)
+    # XLA z-buffer path: this runs under jax.vmap over the K window frames,
+    # where the Pallas kernel cannot lower batched HBM operands
+    idx = index_active(at, T_inv, time, cam, params, allow_pallas=False)
     fa = params.index_factor
     # take the index pixel of each stride cell's center: a point at depth
     # pixel center (c + 0.5) rasterizes to supersampled pixel
@@ -307,7 +319,11 @@ def refine_window(
 
         dA, db, n_in = jax.vmap(per_frame)(poses, win.v_c, win.n_c, win.valid)
         # distributed Schur reduction: sum per-shard systems over the mesh
-        dA, db = _psum_if(axis_name, dA, db)
+        dA, db, n_tot = _psum_if(axis_name, dA, db, n_in)
+        # per-inlier evidence normalization (see BA_EVIDENCE)
+        norm = BA_EVIDENCE / jnp.maximum(n_tot.astype(jnp.float32), 1.0)
+        dA = dA * norm[:, None, None]
+        db = db * norm[:, None]
 
         E, r0 = jax.vmap(_odometry_edge)(poses[:-1], poses[1:], win.odo)
         # prior gradient re-anchored at the current pose-0 estimate:
@@ -361,10 +377,13 @@ def marginalize_oldest(
 
     Returns (prior_H 6x6, prior_b 6, prior_T0 = pose1 linearization point)
     for attachment to the slid window's new pose 0."""
-    A0, b0, _ = _frame_to_map_block(
+    A0, b0, n0 = _frame_to_map_block(
         at, win.poses[0], win.v_c[0], win.n_c[0], win.valid[0],
         time, cam, params, stride, 0.5, 0.05,
     )
+    norm0 = BA_EVIDENCE / jnp.maximum(n0.astype(jnp.float32), 1.0)
+    A0 = A0 * norm0
+    b0 = b0 * norm0
     E, r0 = _odometry_edge(win.poses[0], win.poses[1], win.odo[0])
     EtE = jnp.matmul(E.T, E, precision=HIGHEST) * odo_weight
     Etr = jnp.matmul(E.T, r0, precision=HIGHEST) * odo_weight

@@ -389,6 +389,7 @@ def index_active(
     time: jax.Array,
     cam: CameraIntrinsics,
     params: PipelineParams,
+    allow_pallas: bool = True,
 ) -> jax.Array:
     """predictIndices (src/IndexMap.cpp:138-198) over the active table:
     i32[H*F, W*F] image of ACTIVE slot positions (-1 = empty).
@@ -397,13 +398,18 @@ def index_active(
     (ops/pallas_zbuf.py, 13.6 ns/candidate) instead of the XLA 3-op
     scatter/gather/scatter (28 ns coherent, 232 ns random); elsewhere the
     XLA fallback keeps identical semantics (candidate ids ARE active
-    positions, so no translation is needed)."""
+    positions, so no translation is needed).  ``allow_pallas=False`` forces
+    the XLA path — required under ``jax.vmap`` (BA's K-frame window), where
+    Pallas cannot lower batched ANY-memory-space operands."""
     from .pallas_zbuf import zbuffer_argmin_auto
 
     factor = params.index_factor
     icam = cam.scaled(factor)
     H, W = icam.height, icam.width
     zkey, fpix = index_candidates(at, T_inv, time, cam, params)
+    if not allow_pallas:
+        aids = jnp.arange(at.size, dtype=jnp.int32)
+        return index_resolve(zkey, fpix, aids, H * W).reshape(H, W)
     # valid slots are the table PREFIX (plan orders active blocks first), so
     # the kernel streams only the live candidates, not the budget padding
     n_valid = jnp.sum(at.slot_valid.astype(jnp.int32))
