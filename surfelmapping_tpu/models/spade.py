@@ -27,9 +27,6 @@ parameters live in fp32, activations can be bf16 (set ``compute_dtype``).
 
 from __future__ import annotations
 
-import math
-from typing import Any, Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -143,35 +143,23 @@ def test_linear_lr_decay_schedule(tiny_trainer):
 def test_data_parallel_sharded_jit_matches_single_device():
     """The DataParallel+SyncBN analogue: sharding the batch over an 8-device
     mesh and jitting must produce the same step as one device (global batch
-    stats under jit ARE sync-BN)."""
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    stats under jit ARE sync-BN).
 
-    from surfelmapping_tpu.models.pix2pix import shard_batch
+    Runs in a SUBPROCESS (tests/spade_dp_worker.py): issuing this large
+    sharded compile after ~55 other tests' compilations segfaults the XLA
+    CPU compiler in-process (accumulated-state bug in this jax build; the
+    identical code passes standalone), so it gets its own process like the
+    multi-host test."""
+    import os
+    import subprocess
+    import sys
 
-    cfg = SpadeConfig(
-        ngf=8, ndf=8, crop_size=32, use_vgg=False, num_d=1, n_layers_d=2
+    worker = os.path.join(os.path.dirname(__file__), "spade_dp_worker.py")
+    r = subprocess.run(
+        [sys.executable, worker], capture_output=True, text=True, timeout=900
     )
-    tr = SpadeTrainer(cfg, seed=0)
-    rng = np.random.default_rng(2)
-    label = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)), jnp.float32)
-    real = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)), jnp.float32)
-    state = tr.init_state(label, real)
-
-    # single-device reference step
-    s1, dlogs1 = tr.d_step(state, label, real)
-    s1, glogs1 = tr.g_step(s1, label, real)
-
-    # sharded: batch split over the data axis, params replicated
-    mesh = Mesh(np.asarray(jax.devices()), ("data",))
-    rep = jax.device_put(state, NamedSharding(mesh, P()))
-    slab, sreal = shard_batch(mesh, (label, real))
-    s8, dlogs8 = tr.d_step(rep, slab, sreal)
-    s8, glogs8 = tr.g_step(s8, slab, sreal)
-
-    assert float(jnp.abs(dlogs1["d_total"] - dlogs8["d_total"])) < 1e-4
-    assert float(jnp.abs(glogs1["g_total"] - glogs8["g_total"])) < 1e-4
-    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s8.g_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK maxdiff=" in r.stdout
 
 
 def test_vgg19_npz_weight_loading(tmp_path):

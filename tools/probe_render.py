@@ -67,7 +67,7 @@ def main():
 
     # finer stages of the fast splatter (duplicated math, kept in sync with
     # ops/splat.py:splat_render_fast — probe only)
-    from surfelmapping_tpu.ops.index_map import INT32_MAX, _depth_key
+    from surfelmapping_tpu.ops.index_map import _depth_key
     from surfelmapping_tpu.ops.pallas_zbuf import zbuffer_argmin_auto
     from surfelmapping_tpu.ops.transforms import (
         invert_se3, normalize_planar, rotate_planar, transform_planar,
